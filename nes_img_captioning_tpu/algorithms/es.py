@@ -1,0 +1,426 @@
+"""NIC-ES: truncation-selection genetic algorithm as a single SPMD program.
+
+Reference behavior (src/algorithm/nic_es/): a population of parents produces
+``nb_offspring`` children per generation by Gaussian mutation (parent chosen
+uniformly or by tournament = min index of k sampled, since parents are sorted
+best-first); children are fitness-scored on the generation's minibatch; the
+top (population_size - num_elites) children become the next parents with the
+podium's best elites prepended; the top num_elite_cands children are
+validation-scored during the next generation and the best becomes the
+representative model; sigma/batch-size anneal on patience or schedule.
+
+TPU-native execution: parents live as a (P, dim) device matrix; offspring
+exist only as (parent_index, uint32 seed) pairs — each child's theta is
+regenerated on device whenever needed (fitness sweep, then re-materialization
+of the few winners), eliminating the reference's ~11 MB-per-offspring .pth
+files on a shared filesystem (README.md:389-391) entirely. The fitness sweep
+is lax.map waves of a mesh-sharded vmap, exactly like the NES engine.
+Generation 0 children are fresh random inits (parents "None" — reference:
+src/algorithm/nic_es/iteration.py:50-61).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from .experiment import ESExperiment
+from .iteration import Iteration
+from .nes import setup_log_dir
+from .snapshot import save_snapshot
+from .statistics import Statistics
+from ..ops.mutation import MutationKind, gaussian_noise, shape_noise
+from ..parallel.mesh import make_mesh, pop_axis_size
+from ..utils.config import parse_config, parse_tpu_config
+from ..utils.files import mkdir_p, remove_all_files_but
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["ESEngine", "ESMaster"]
+
+
+class ESEngine:
+    def __init__(self, task, mutation: MutationKind, mesh=None, pop_chunk: int = 0):
+        self.task = task
+        self.mutation = mutation
+        self.mesh = mesh
+        self.pop_chunk = pop_chunk
+        self.dim = task.spec.num_params
+
+        self._eval_jit = jax.jit(self._eval_fn)
+        self._fresh_eval_jit = jax.jit(self._fresh_eval_fn)
+        self._materialize_jit = jax.jit(self._materialize_fn)
+        self._materialize_fresh_jit = jax.jit(self._materialize_fresh_fn)
+
+    # ---- layout (shared shape logic with the NES engine) -------------------------
+
+    def _chunks(self, L: int) -> tuple[int, int]:
+        chunk = self.pop_chunk or L
+        chunk = min(chunk, L)
+        ndev = pop_axis_size(self.mesh)
+        chunk = max(chunk, ndev)
+        while L % chunk:
+            chunk += 1
+        return L // chunk, chunk
+
+    def _lay_out(self, arr: np.ndarray, n_chunks: int, chunk: int):
+        arr = np.asarray(arr).reshape(n_chunks, chunk, *arr.shape[1:])
+        if self.mesh is None or pop_axis_size(self.mesh) == 1:
+            return jnp.asarray(arr)
+        spec = [None] * arr.ndim
+        spec[1] = "pop"
+        return jax.device_put(arr, NamedSharding(self.mesh, P(*spec)))
+
+    # ---- device fns ------------------------------------------------------------------
+
+    def _child(self, parents_mat, sens_mat, sigma, seed, pi, si):
+        parent = parents_mat[pi]
+        noise = gaussian_noise(jax.random.key(seed), self.dim, sigma)
+        delta = shape_noise(
+            noise, parent,
+            sensitivity=sens_mat[si] if self.mutation.is_safe else None,
+            proportional=self.mutation.is_proportional,
+        )
+        return parent + delta
+
+    def _eval_fn(self, parents_mat, sens_mat, sigma, seeds, pidx, sidx, idx_row):
+        def one(seed, pi, si):
+            child = self._child(parents_mat, sens_mat, sigma, seed, pi, si)
+            return self.task.rollout(child, idx_row)
+
+        return jax.lax.map(
+            lambda xs: jax.vmap(one)(*xs), (seeds, pidx, sidx)
+        )
+
+    def _fresh_eval_fn(self, seeds, idx_row):
+        def one(seed):
+            child = self.task.spec.init_theta(jax.random.key(seed))
+            return self.task.rollout(child, idx_row)
+
+        return jax.lax.map(lambda s: jax.vmap(one)(s), seeds)
+
+    def _materialize_fn(self, parents_mat, sens_mat, sigma, seeds, pidx, sidx):
+        return jax.vmap(
+            lambda s, pi, si: self._child(parents_mat, sens_mat, sigma, s, pi, si)
+        )(seeds, pidx, sidx)
+
+    def _materialize_fresh_fn(self, seeds):
+        return jax.vmap(
+            lambda s: self.task.spec.init_theta(jax.random.key(s))
+        )(seeds)
+
+    # ---- host entry points ---------------------------------------------------------
+
+    def eval_generation(self, parents_mat, sens_mat, sigma, seeds, pidx, idx_row,
+                        fresh: bool = False):
+        """seeds (L,), pidx (L,), idx_row (B,) -> artifacts leaves (L, ...)."""
+        L = seeds.shape[0]
+        n_chunks, chunk = self._chunks(L)
+        seeds_d = self._lay_out(seeds.astype(np.uint32), n_chunks, chunk)
+        if fresh:
+            out = self._fresh_eval_jit(seeds_d, jnp.asarray(idx_row, jnp.int32))
+        else:
+            pidx_d = self._lay_out(pidx.astype(np.int32), n_chunks, chunk)
+            sidx = pidx if self.mutation.is_safe else np.zeros_like(pidx)
+            sidx_d = self._lay_out(sidx.astype(np.int32), n_chunks, chunk)
+            out = self._eval_jit(
+                parents_mat, sens_mat, jnp.float32(sigma),
+                seeds_d, pidx_d, sidx_d, jnp.asarray(idx_row, jnp.int32),
+            )
+        return jax.tree_util.tree_map(lambda o: o.reshape(L, *o.shape[2:]), out)
+
+    def materialize(self, parents_mat, sens_mat, sigma, seeds, pidx,
+                    fresh: bool = False):
+        """Rebuild the thetas of selected children from their lineage."""
+        seeds = jnp.asarray(np.asarray(seeds, np.uint32))
+        if fresh:
+            return self._materialize_fresh_jit(seeds)
+        sidx = pidx if self.mutation.is_safe else np.zeros_like(pidx)
+        return self._materialize_jit(
+            parents_mat, sens_mat, jnp.float32(sigma),
+            seeds, jnp.asarray(pidx, jnp.int32), jnp.asarray(sidx, jnp.int32),
+        )
+
+
+class ESMaster:
+    def __init__(self, exp: dict, mesh=None):
+        from ..tasks import make_task
+
+        self.exp = exp
+        self.config = parse_config(exp)
+        self.tpu_cfg = parse_tpu_config(exp)
+        setup_log_dir(exp)
+
+        self.task = make_task(exp, self.config, self.tpu_cfg)
+        self.it = Iteration(self.config, exp)
+        self.stats = Statistics()
+        self.experiment = ESExperiment(exp, self.config, self.task)
+
+        if mesh is None and self.tpu_cfg.mesh_shape:
+            mesh = make_mesh(self.tpu_cfg.mesh_shape)
+        self.mesh = mesh
+
+        popts = exp.get("policy_options", {})
+        mopts = popts.get("model_options", {})
+        self.mutation = MutationKind(mopts.get("safe_mutations", "") or "")
+        self._underflow = mopts.get("safe_mutation_underflow", 0.01)
+        self.engine = ESEngine(
+            self.task, self.mutation, mesh=mesh, pop_chunk=self.tpu_cfg.pop_chunk
+        )
+
+        self._elite_path_tpl = os.path.join(
+            self.experiment.elite_dir(), "0_{i}_elite_params.pth"
+        )
+        self._parent_path_tpl = os.path.join(
+            self.experiment.offspring_dir(), "0_{i}_parent_params.pth"
+        )
+
+        self._rng = np.random.default_rng(self.tpu_cfg.seed)
+        # parents: device matrix (P, dim) or None for the fresh generation 0;
+        # podium-elite rows are tracked by path for z_info interop
+        self.parents_mat = None
+        self._parent_paths: list = []  # path or None, aligned with matrix rows
+        self.elites_to_evaluate: list = []  # (cand_id, path)
+        self.policy_theta = None  # representative (best evaluated elite)
+        self._sens_mat = jnp.ones((1, self.engine.dim), jnp.float32)
+
+        self._init_population(exp)
+
+    # ---- init modes -------------------------------------------------------------
+
+    def _key(self):
+        return jax.random.PRNGKey(int(self._rng.integers(0, 2**31 - 1)))
+
+    def _init_population(self, exp):
+        spec = self.task.spec
+        pop_size = self.experiment.population_size()
+        n_cands = self.experiment.num_elite_cands()
+
+        if exp.get("from_infos"):
+            import json
+
+            with open(exp["from_infos"]) as f:
+                infos = json.load(f)
+            self.stats.init_from_infos(infos)
+            self.it.init_from_infos(infos)
+            self.experiment.init_from_infos(infos)
+            thetas, paths = [], []
+            for i, (_, path) in enumerate(infos["parents"]):
+                thetas.append(spec.load_pth(path))
+                paths.append(None)
+            self.parents_mat = jnp.asarray(np.stack(thetas))
+            self._parent_paths = paths
+            self.elites_to_evaluate = []
+            for i, (_, path) in enumerate(infos["elites_to_evaluate"]):
+                new_path = self._elite_path_tpl.format(i=i)
+                if os.path.abspath(path) != os.path.abspath(new_path):
+                    spec.save_pth(spec.load_pth(path), new_path)
+                self.elites_to_evaluate.append((i, new_path))
+            self.policy_theta = self.parents_mat[0]
+        elif exp.get("from_single"):
+            files = exp["from_single"]
+            if isinstance(files, str):
+                files = [files]
+            thetas = [spec.load_pth(f) for f in files]
+            self.parents_mat = jnp.asarray(np.stack(thetas))
+            self._parent_paths = [None] * len(thetas)
+            self.elites_to_evaluate = []
+            for i, th in enumerate(thetas[:n_cands]):
+                path = self._elite_path_tpl.format(i=i)
+                spec.save_pth(np.asarray(th), path)
+                self.elites_to_evaluate.append((i, path))
+            self.policy_theta = self.parents_mat[0]
+        else:
+            # generation 0 is fully random (parents None, reference
+            # nic_es/iteration.py:50-61); elite cands = random models
+            self.parents_mat = None
+            self._parent_paths = []
+            self.elites_to_evaluate = []
+            cand_seeds = self._rng.integers(0, 2**32, size=max(n_cands, 1), dtype=np.uint32)
+            cands = self.engine.materialize(None, None, 0.0, cand_seeds, None, fresh=True)
+            for i in range(n_cands):
+                path = self._elite_path_tpl.format(i=i)
+                spec.save_pth(np.asarray(cands[i]), path)
+                self.elites_to_evaluate.append((i, path))
+            self.policy_theta = cands[0]
+
+    # ---- selection ---------------------------------------------------------------
+
+    def _select_parent_indices(self, L: int, n_parents: int) -> np.ndarray:
+        if self.experiment.selection() == "tournament":
+            k = min(n_parents, self.experiment.tournament_size() or 1)
+            # parents sorted best-first: tournament winner = min sampled index
+            # (reference: nic_es_worker.py:150-162)
+            samples = np.stack(
+                [self._rng.choice(n_parents, size=k, replace=False) for _ in range(L)]
+            )
+            return samples.min(axis=1).astype(np.int32)
+        return self._rng.integers(0, n_parents, size=L).astype(np.int32)
+
+    def _update_sensitivities(self, idx_row):
+        """Per-parent sensitivity matrix for SM-G-* (the reference caches
+        sens per (task, parent) across workers — here one computation per
+        parent per generation, SURVEY.md §7.3)."""
+        if self.mutation not in (MutationKind.SAFE_GRAD_SUM, MutationKind.SAFE_GRAD_ABS):
+            return
+        from ..ops.sensitivity import calc_sensitivity
+
+        rows = [
+            calc_sensitivity(self.task, self.parents_mat[i], jnp.asarray(idx_row),
+                             self.mutation, self._underflow)
+            for i in range(self.parents_mat.shape[0])
+        ]
+        self._sens_mat = jnp.stack(rows)
+
+    # ---- main loop ------------------------------------------------------------------
+
+    def run_master(self, plot: bool = False, max_iterations: int | None = None):
+        config, it, stats = self.config, self.it, self.stats
+        limit = max_iterations or config.max_nb_iterations
+        L = self.exp["nb_offspring"]
+        pop_size = self.experiment.population_size()
+        num_elites = self.experiment.num_elites()
+        n_cands = self.experiment.num_elite_cands()
+        spec = self.task.spec
+
+        while not limit or it.iteration() < limit:
+            it.incr_epoch()
+            gens = max(self.task.train_n // it.batch_size(), 1)
+            for _ in range(gens):
+                it.incr_iteration()
+                stats.set_step_tstart()
+                logger.info("********** Iteration %d **********", it.iteration())
+
+                sigma, bs = it.get_noise_stdev(), it.batch_size()
+                from ..data.core import EpochSampler
+
+                if not hasattr(self, "_sampler") or self._sampler is None:
+                    self._sampler = EpochSampler(
+                        self.task.train_n,
+                        seed=int(self._rng.integers(0, 2**31 - 1)),
+                    )
+                idx_row = self._sampler.batch(bs)
+
+                # 1. validation-score the elite candidates published by the
+                #    previous generation (reference eval jobs)
+                for cid, path in self.elites_to_evaluate:
+                    score = self.task.validate(jnp.asarray(spec.load_pth(path)))
+                    it.record_eval_result(cid, path, score)
+                best_ev_acc, best_ev_elite = it.process_evaluated_elites()
+                if best_ev_elite:
+                    self.policy_theta = jnp.asarray(spec.load_pth(best_ev_elite))
+
+                # 2. offspring fitness sweep
+                fresh = self.parents_mat is None
+                seeds = self._rng.integers(0, 2**32, size=L, dtype=np.uint32)
+                if fresh:
+                    pidx = np.zeros(L, np.int32)
+                else:
+                    self._update_sensitivities(idx_row)
+                    pidx = self._select_parent_indices(L, self.parents_mat.shape[0])
+                artifacts = self.engine.eval_generation(
+                    self.parents_mat, self._sens_mat, sigma, seeds, pidx,
+                    idx_row, fresh=fresh,
+                )
+                fitness = np.asarray(
+                    self.task.host_fitness(artifacts, idx_row)
+                ).reshape(L)
+
+                # 3. truncation selection (reference: nic_es_master.py:155-167)
+                order = np.argsort(-fitness, kind="stable")
+                scores = fitness[order]
+                keep = order[: pop_size - num_elites]
+
+                # 4. next elite candidates = top C children, persisted as .pth
+                cand_ids = order[:n_cands]
+                cand_thetas = self.engine.materialize(
+                    self.parents_mat, self._sens_mat, sigma,
+                    seeds[cand_ids], pidx[cand_ids], fresh=fresh,
+                )
+                new_cands, cand_files = [], []
+                for i in range(len(cand_ids)):
+                    path = self._elite_path_tpl.format(i=i)
+                    spec.save_pth(np.asarray(cand_thetas[i]), path)
+                    new_cands.append((i, path))
+                    cand_files.append(path)
+                remove_all_files_but(self.experiment.elite_dir(), cand_files)
+                self.elites_to_evaluate = new_cands
+
+                # 5. new parents = podium elites + selected children
+                #    (reference: record_parents + _add_elites_to_parents)
+                selected = self.engine.materialize(
+                    self.parents_mat, self._sens_mat, sigma,
+                    seeds[keep], pidx[keep], fresh=fresh,
+                )
+                elite_rows, elite_paths = [], []
+                for path, _ in it.best_elites():
+                    if path and os.path.isfile(path):
+                        elite_rows.append(spec.load_pth(path))
+                        elite_paths.append(path)
+                rows = (
+                    [jnp.asarray(np.stack(elite_rows))] if elite_rows else []
+                ) + [selected]
+                self.parents_mat = jnp.concatenate(rows, axis=0)
+                self._parent_paths = elite_paths + [None] * selected.shape[0]
+
+                if it.patience_reached() or it.schedule_reached():
+                    self._sampler = None
+
+                stats.record_score_stats(scores)
+                stats.record_bs_stats(it.batch_size())
+                stats.record_step_time_stats()
+                stats.record_norm_stats(np.asarray(self.policy_theta))
+                stats.record_acc_stats(
+                    best_ev_acc if best_ev_acc > float("-inf") else 0.0
+                )
+                stats.record_best_acc_stats(it.best_elites()[0][1])
+                stats.record_std_stats(it.noise_stdev())
+                stats.update_mem_stats()
+                stats.log_stats()
+                it.log_stats()
+
+                if config.snapshot_freq and it.iteration() % config.snapshot_freq == 0:
+                    self._snapshot(plot)
+                if limit and it.iteration() >= limit:
+                    break
+                if it.patience_reached() or it.schedule_reached():
+                    break
+
+        self._snapshot(plot)
+        return self.policy_theta
+
+    # ---- checkpointing -----------------------------------------------------------
+
+    def _write_parent_files(self):
+        """Materialize parent rows as .pth files for the z_info checkpoint
+        (the reference keeps them on disk continuously as its transport; we
+        only need them at snapshot time)."""
+        parents = []
+        spec = self.task.spec
+        keep_files = []
+        for i in range(self.parents_mat.shape[0]):
+            path = self._parent_paths[i]
+            if path is None:
+                path = self._parent_path_tpl.format(i=i)
+                spec.save_pth(np.asarray(self.parents_mat[i]), path)
+            parents.append((i, path))
+            if path.startswith(self.experiment.offspring_dir()):
+                keep_files.append(path)
+        remove_all_files_but(self.experiment.offspring_dir(), keep_files)
+        return parents
+
+    def _snapshot(self, plot: bool):
+        parents = self._write_parent_files() if self.parents_mat is not None else []
+        # ES checkpoint state (reference: nic_es/iteration.py:30-35)
+        self.it.extra_state = {
+            "elites_to_evaluate": list(self.elites_to_evaluate),
+            "parents": parents,
+        }
+        save_snapshot(self.stats, self.it, self.experiment)
+        if plot:
+            self.stats.plot_stats(self.experiment.snapshot_dir())

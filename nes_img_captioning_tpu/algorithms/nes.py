@@ -1,0 +1,359 @@
+"""NIC-NES: natural evolution strategy as a single SPMD program.
+
+Reference behavior (src/algorithm/nic_nes/): one parameter vector theta;
+nb_offspring/2 antithetic Gaussian perturbation pairs are fitness-evaluated
+on minibatches; centered-rank weights produce a gradient estimate
+``sum_i (rank_pos_i - rank_neg_i) * delta_i / nb_offspring`` that updates
+theta through Adam/SGD with L2 regularization; sigma/batch-size anneal on
+patience or a fixed schedule; the current model is validation-scored every
+generation and fed to the podium.
+
+TPU-native execution (replaces master/relay/worker over Redis, SURVEY §2.2):
+
+* a generation is two jitted calls — ``eval_generation`` (perturb + rollout
+  for all pairs, population axis sharded over the mesh, lax.map waves of
+  ``pop_chunk`` pairs bound memory) and ``update`` (noise regenerated from
+  the same uint32 seeds, rank-weighted partial sums psum-reduced across the
+  mesh, optimizer step fused) — noise never leaves the device and is never
+  stored across the two calls;
+* per-pair minibatches are device-side gathers by an (F, B) int32 index
+  array (single_batch=true tiles one row), emulating both reference batch
+  regimes (nic_nes_worker.py:121-128);
+* host work per generation: sampling index rows, (for captioning) CIDEr
+  scoring, and bookkeeping.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .experiment import NESExperiment
+from .iteration import Iteration
+from .optimizers import OptState
+from .snapshot import save_snapshot
+from .statistics import Statistics
+from ..ops.mutation import MutationKind, gaussian_noise, shape_noise
+from ..ops.ranks import compute_centered_ranks
+from ..parallel.mesh import make_mesh, pop_axis_size
+from ..utils.config import parse_config, parse_tpu_config
+from ..utils.files import mkdir_p, remove_all_files_from_dir
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["NESEngine", "NESMaster"]
+
+
+class NESEngine:
+    """Device-side math for one NES generation. Pure w.r.t. all inputs, so
+    the same object also backs the multi-chip dry-run and the benchmark."""
+
+    def __init__(self, task, optimizer, mutation: MutationKind, mesh=None,
+                 pop_chunk: int = 0):
+        self.task = task
+        self.optimizer = optimizer
+        self.mutation = mutation
+        self.mesh = mesh
+        self.pop_chunk = pop_chunk
+        self.dim = task.spec.num_params
+
+        self._eval_jit = jax.jit(self._eval_fn)
+        self._update_jit = jax.jit(self._update_fn)
+
+    # ---- layout helpers --------------------------------------------------------
+
+    def _chunks(self, F: int) -> tuple[int, int]:
+        chunk = self.pop_chunk or F
+        chunk = min(chunk, F)
+        ndev = pop_axis_size(self.mesh)
+        # each wave spans the whole mesh; pad chunk up to a device multiple
+        chunk = max(chunk, ndev)
+        while F % chunk:
+            chunk += 1  # F is kept a multiple of ndev by the master
+        return F // chunk, chunk
+
+    def _lay_out(self, arr: np.ndarray, n_chunks: int, chunk: int):
+        """(F, ...) host array -> (n_chunks, chunk, ...) device array with the
+        chunk axis sharded over the mesh, so every lax.map wave runs on all
+        chips at once."""
+        arr = np.asarray(arr).reshape(n_chunks, chunk, *arr.shape[1:])
+        if self.mesh is None or pop_axis_size(self.mesh) == 1:
+            return jnp.asarray(arr)
+        spec = [None] * arr.ndim
+        spec[1] = "pop"
+        return jax.device_put(arr, NamedSharding(self.mesh, P(*spec)))
+
+    # ---- device fns ----------------------------------------------------------------
+
+    def _delta(self, theta, sens, sigma, seed):
+        noise = gaussian_noise(jax.random.key(seed), self.dim, sigma)
+        return shape_noise(
+            noise, theta,
+            sensitivity=sens if self.mutation.is_safe else None,
+            proportional=self.mutation.is_proportional,
+        )
+
+    def _eval_fn(self, theta, sens, sigma, seeds, idx):
+        """seeds (n,c) uint32, idx (n,c,B) int32 ->
+        artifacts pytree with leaves (n, c, 2, ...)."""
+
+        def pair(seed, idx_i):
+            delta = self._delta(theta, sens, sigma, seed)
+            pos = self.task.rollout(theta + delta, idx_i)
+            neg = self.task.rollout(theta - delta, idx_i)
+            return jax.tree_util.tree_map(
+                lambda a, b: jnp.stack([a, b]), pos, neg
+            )
+
+        return jax.lax.map(
+            lambda xs: jax.vmap(pair)(*xs), (seeds, idx)
+        )
+
+    def _update_fn(self, theta, opt_state, sens, sigma, seeds, fitnesses,
+                   stepsize, l2coeff):
+        """Regenerate deltas from seeds, aggregate the rank-weighted gradient
+        (reference math: nic_nes_master.py:123-133,170-182), step the
+        optimizer. fitnesses: (F, 2) pos/neg."""
+        ranked = compute_centered_ranks(fitnesses)
+        weights = (ranked[:, 0] - ranked[:, 1]).reshape(seeds.shape)
+
+        def chunk_grad(xs):
+            w_c, seeds_c = xs
+            deltas = jax.vmap(lambda s: self._delta(theta, sens, sigma, s))(seeds_c)
+            return jnp.einsum(
+                "f,fd->d", w_c, deltas, preferred_element_type=jnp.float32
+            )
+
+        partials = jax.lax.map(chunk_grad, (weights, seeds))
+        grad = partials.sum(0) / fitnesses.size
+        globalg = -grad + l2coeff * theta
+        return self.optimizer.step(opt_state, theta, globalg, stepsize)
+
+    # ---- host entry points ----------------------------------------------------------
+
+    def eval_generation(self, theta, sens, sigma, seeds: np.ndarray,
+                        idx: np.ndarray):
+        """seeds (F,), idx (F, B) -> artifacts with leaves (F, 2, ...)."""
+        F = seeds.shape[0]
+        n_chunks, chunk = self._chunks(F)
+        seeds_d = self._lay_out(seeds.astype(np.uint32), n_chunks, chunk)
+        idx_d = self._lay_out(idx.astype(np.int32), n_chunks, chunk)
+        out = self._eval_jit(theta, sens, jnp.float32(sigma), seeds_d, idx_d)
+        return jax.tree_util.tree_map(
+            lambda o: o.reshape(F, *o.shape[2:]), out
+        )
+
+    def update(self, theta, opt_state, sens, sigma, seeds: np.ndarray,
+               fitnesses: np.ndarray, stepsize: float, l2coeff: float):
+        F = seeds.shape[0]
+        n_chunks, chunk = self._chunks(F)
+        seeds_d = self._lay_out(seeds.astype(np.uint32), n_chunks, chunk)
+        return self._update_jit(
+            theta, opt_state, sens, jnp.float32(sigma),
+            seeds_d, jnp.asarray(fitnesses, jnp.float32),
+            jnp.float32(stepsize), jnp.float32(l2coeff),
+        )
+
+
+def setup_log_dir(exp: dict) -> str:
+    """logs/{algo}_{dataset}_{net}_{pid} (reference: tools/setup.py:22-25)."""
+    log_dir = exp.get("log_dir") or "logs/{}_{}_{}_{}".format(
+        exp["algorithm"], exp["dataset"],
+        exp["policy_options"]["net"], os.getpid(),
+    )
+    mkdir_p(log_dir)
+    exp["log_dir"] = log_dir
+    return log_dir
+
+
+class NESMaster:
+    """Training driver: owns theta + optimizer state on device and all
+    host-side bookkeeping (iteration/statistics/podium/snapshots)."""
+
+    def __init__(self, exp: dict, mesh=None):
+        from ..tasks import make_task
+
+        self.exp = exp
+        self.config = parse_config(exp)
+        self.tpu_cfg = parse_tpu_config(exp)
+        setup_log_dir(exp)
+
+        self.task = make_task(exp, self.config, self.tpu_cfg)
+        self.it = Iteration(self.config, exp)
+        self.stats = Statistics()
+        self.experiment = NESExperiment(exp, self.config, self.task)
+        self.optimizer = self.experiment.optimizer
+
+        if mesh is None and self.tpu_cfg.mesh_shape:
+            mesh = make_mesh(self.tpu_cfg.mesh_shape)
+        self.mesh = mesh
+
+        popts = exp.get("policy_options", {})
+        mopts = popts.get("model_options", {})
+        self.mutation = MutationKind(mopts.get("safe_mutations", "") or "")
+        self.engine = NESEngine(
+            self.task, self.optimizer, self.mutation,
+            mesh=mesh, pop_chunk=self.tpu_cfg.pop_chunk,
+        )
+
+        self._current_dir = mkdir_p(
+            os.path.join(self.it.models_dir(), "current")
+        )
+        self._current_path = os.path.join(self._current_dir, "0_current_params.pth")
+
+        seed = self.tpu_cfg.seed
+        self._rng = np.random.default_rng(seed)
+        self._init_theta(exp)
+        self._sampler = None  # built lazily; rebuilt on annealing
+
+        self.opt_state = self.experiment.opt_state or self.optimizer.init(
+            self.engine.dim
+        )
+        self.experiment.opt_state = self.opt_state
+        self._sens = jnp.ones((self.engine.dim,), jnp.float32)
+
+    # ---- init modes (reference: tools/setup.py:33-44) ---------------------------
+
+    def _init_theta(self, exp):
+        spec = self.task.spec
+        if exp.get("from_infos"):
+            import json
+
+            with open(exp["from_infos"]) as f:
+                infos = json.load(f)
+            self.stats.init_from_infos(infos)
+            self.it.init_from_infos(infos)
+            self.experiment.init_from_infos(infos)
+            theta = spec.load_pth(infos["current_model"])
+        elif exp.get("from_single"):
+            theta = spec.load_pth(exp["from_single"])
+        else:
+            key = jax.random.PRNGKey(int(self._rng.integers(0, 2**31 - 1)))
+            theta = np.asarray(self.task.generate_theta(key))
+        self.theta = jnp.asarray(theta, jnp.float32)
+        self._write_current_model()
+
+    def _write_current_model(self):
+        remove_all_files_from_dir(self._current_dir)
+        self.task.spec.save_pth(np.asarray(self.theta), self._current_path)
+        # NES checkpoint state (reference: nic_nes/iteration.py:37-41)
+        self.it.extra_state = {"current_model": self._current_path}
+
+    def current_model(self) -> str:
+        return self._current_path
+
+    # ---- per-generation pieces ------------------------------------------------------
+
+    def _pair_count(self) -> int:
+        F = self.exp["nb_offspring"] // 2
+        ndev = pop_axis_size(self.mesh)
+        return max((F // ndev) * ndev, ndev)  # mesh-divisible
+
+    def _draw_batches(self, F: int, bs: int) -> np.ndarray:
+        from ..data.core import EpochSampler
+
+        if self._sampler is None:
+            self._sampler = EpochSampler(
+                self.task.train_n, seed=int(self._rng.integers(0, 2**31 - 1))
+            )
+        if self.config.single_batch:
+            row = self._sampler.batch(bs)
+            return np.tile(row, (F, 1))
+        return self._sampler.member_batches(F, bs)
+
+    def _maybe_sensitivity(self, idx_row: np.ndarray):
+        if self.mutation in (MutationKind.SAFE_GRAD_SUM, MutationKind.SAFE_GRAD_ABS):
+            from ..ops.sensitivity import calc_sensitivity
+
+            mopts = self.exp["policy_options"].get("model_options", {})
+            underflow = mopts.get("safe_mutation_underflow", 0.01)
+            self._sens = calc_sensitivity(
+                self.task, self.theta, idx_row, self.mutation, underflow
+            )
+        elif self.mutation is MutationKind.SAFE_VECTOR:
+            pass  # set once at startup via set_sensitivity_vector
+        return self._sens
+
+    def set_sensitivity_vector(self, vector, underflow: float):
+        """SM-VECTOR: precomputed sensitivity, clamped then min-normalized
+        (reference: src/algorithm/safe_mutations.py:28-32)."""
+        v = jnp.asarray(np.asarray(vector), jnp.float32)
+        v = jnp.maximum(v, underflow)
+        self._sens = v / v.min()
+
+    # ---- main loop ---------------------------------------------------------------------
+
+    def run_master(self, plot: bool = False, max_iterations: int | None = None):
+        config, it, stats = self.config, self.it, self.stats
+        limit = max_iterations or config.max_nb_iterations
+        F = self._pair_count()
+
+        while not limit or it.iteration() < limit:
+            it.incr_epoch()
+            gens = max(self.task.train_n // it.batch_size(), 1)
+            for _ in range(gens):
+                it.incr_iteration()
+                stats.set_step_tstart()
+                logger.info("********** Iteration %d **********", it.iteration())
+
+                sigma, bs = it.get_noise_stdev(), it.batch_size()
+                seeds = self._rng.integers(0, 2**32, size=F, dtype=np.uint32)
+                idx = self._draw_batches(F, bs)
+                sens = self._maybe_sensitivity(idx[0])
+
+                artifacts = self.engine.eval_generation(
+                    self.theta, sens, sigma, seeds, idx
+                )
+                fitnesses = self.task.host_fitness(artifacts, idx)  # (F, 2)
+
+                # one validation eval per generation on the pre-update model
+                # (the reference blocks until >=1 eval result per generation,
+                # nic_nes/iteration.py:49-50)
+                eval_score = self.task.validate(self.theta)
+                it.record_eval_result(0, self._current_path, eval_score)
+                it.process_evaluated_elites()
+
+                self.opt_state, self.theta, ratio = self.engine.update(
+                    self.theta, self.opt_state, sens, sigma, seeds, fitnesses,
+                    self.optimizer.stepsize, config.l2coeff or 0.0,
+                )
+                self.experiment.opt_state = self.opt_state
+                self._write_current_model()
+
+                if it.patience_reached() or it.schedule_reached():
+                    if config.stepsize_divisor:
+                        self.optimizer.stepsize /= config.stepsize_divisor
+                    self._sampler = None  # rebuilt at the new batch size
+
+                stats.record_update_ratio(float(ratio))
+                stats.record_score_stats(np.asarray(fitnesses).ravel())
+                stats.record_bs_stats(it.batch_size())
+                stats.record_step_time_stats()
+                stats.record_norm_stats(np.asarray(self.theta))
+                stats.record_acc_stats(eval_score)
+                stats.record_best_acc_stats(it.best_elites()[0][1])
+                stats.record_std_stats(it.noise_stdev())
+                stats.update_mem_stats()
+                stats.log_stats()
+                it.log_stats()
+
+                if config.snapshot_freq and it.iteration() % config.snapshot_freq == 0:
+                    save_snapshot(stats, it, self.experiment)
+                    if plot:
+                        stats.plot_stats(self.experiment.snapshot_dir())
+
+                if limit and it.iteration() >= limit:
+                    break
+                if it.patience_reached() or it.schedule_reached():
+                    break  # rebuild the epoch at the new batch size
+
+        save_snapshot(stats, it, self.experiment)
+        if plot:
+            stats.plot_stats(self.experiment.snapshot_dir())
+        return self.theta

@@ -1,0 +1,79 @@
+"""Safe-mutation sensitivities (SM-G-SUM / SM-G-ABS).
+
+Reference semantics (src/algorithm/safe_mutations.py, from
+uber-research/safemutations):
+
+* SM-G-SUM: one forward through the task's ``sensitivity_forward`` giving a
+  (B, K) output; Jacobian rows J_k = d(sum_b out[b,k])/d theta; sensitivity =
+  sqrt(sum_k J_k^2) / B  (safe_mutations.py:103-117).
+* SM-G-ABS: per-sample Jacobians, |.| averaged over the batch before the
+  sqrt-sum-of-squares (safe_mutations.py:119-146) — quadratic cost in the
+  reference and here.
+* post-processing: clamp below at ``underflow`` then divide by it
+  (safe_mutations.py:62-63).
+
+The reference amortizes the computation across workers with a file cache
+(sens_t{t}_p{p}_*.pt); here it is one jitted autodiff per generation (and per
+parent for NIC-ES), which replaces the cache entirely. ``jax.jacrev``
+vectorizes the reference's K explicit backward passes into one vmapped VJP.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .mutation import MutationKind
+
+__all__ = ["calc_sensitivity", "sm_g_sum", "sm_g_abs"]
+
+
+def _postprocess(sens: jax.Array, underflow: float) -> jax.Array:
+    sens = jnp.maximum(sens, underflow)
+    return sens / underflow
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _sum_sens(forward, theta, idx):
+    out_fn = lambda th: forward(th, idx).sum(0)
+    batch = forward(theta, idx).shape[0]
+    J = jax.jacrev(out_fn)(theta)  # (K, dim)
+    return jnp.sqrt((J**2).sum(0)) / batch
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _abs_sens(forward, theta, idx):
+    def sample_jac(carry, i):
+        # single-sample forward: (1, K) -> (K,); jacrev -> (K, dim)
+        J_i = jax.jacrev(lambda th: forward(th, idx[i : i + 1])[0])(theta)
+        return carry + jnp.abs(J_i), None
+
+    B = idx.shape[0]
+    K = jax.eval_shape(lambda th: forward(th, idx[0:1])[0], theta).shape[0]
+    dim = theta.shape[0]
+    acc, _ = jax.lax.scan(
+        sample_jac, jnp.zeros((K, dim), jnp.float32), jnp.arange(B)
+    )
+    J = acc / B
+    return jnp.sqrt((J**2).sum(0))
+
+
+def sm_g_sum(forward, theta, idx, underflow: float) -> jax.Array:
+    return _postprocess(_sum_sens(forward, theta, idx), underflow)
+
+
+def sm_g_abs(forward, theta, idx, underflow: float) -> jax.Array:
+    return _postprocess(_abs_sens(forward, theta, idx), underflow)
+
+
+def calc_sensitivity(task, theta, idx, kind: MutationKind, underflow: float):
+    """Dispatch on mutation kind; ``task.sensitivity_forward(theta, idx)``
+    must return the (B, K) grouped output."""
+    forward = task.sensitivity_forward
+    if kind is MutationKind.SAFE_GRAD_SUM:
+        return sm_g_sum(forward, theta, idx, underflow)
+    if kind is MutationKind.SAFE_GRAD_ABS:
+        return sm_g_abs(forward, theta, idx, underflow)
+    raise ValueError(f"no gradient sensitivity for {kind}")

@@ -1,0 +1,60 @@
+"""Task interface consumed by the NES/ES engines.
+
+A task owns: the model family (param spec + apply fns), the device-resident
+dataset, the fitness definition, and validation scoring. The engines only see
+this surface — the same split as the reference's Policy/Experiment plugins
+(reference: src/algorithm/policies.py:44-172).
+
+The fitness path is two-phase to accommodate host-side scorers (CIDEr-D):
+
+* ``rollout(theta, idx)`` — pure jax function: one individual, one batch
+  (``idx`` indexes the device dataset). Returns either the scalar fitness
+  (``artifact_is_fitness=True``) or device artifacts (token sequences,
+  logprobs) that ``host_fitness`` turns into scalars on host.
+* ``host_fitness(artifacts, idx)`` — numpy in, (…,) fitness array out.
+"""
+
+from __future__ import annotations
+
+import abc
+
+__all__ = ["Task"]
+
+
+class Task(abc.ABC):
+    #: True when rollout() already returns the scalar fitness on device.
+    artifact_is_fitness: bool = True
+
+    #: model family object exposing .spec (ParamSpec)
+    model = None
+
+    @property
+    def spec(self):
+        return self.model.spec
+
+    @property
+    @abc.abstractmethod
+    def train_n(self) -> int:
+        """Number of training items (defines generations per epoch)."""
+
+    @abc.abstractmethod
+    def rollout(self, theta, idx):
+        """Pure fn: fitness scalar or artifacts for one individual on the
+        training batch given by index vector ``idx``."""
+
+    def host_fitness(self, artifacts, idx):
+        import numpy as np
+
+        return np.asarray(artifacts)
+
+    @abc.abstractmethod
+    def validate(self, theta) -> float:
+        """Validation score of one individual (accuracy / CIDEr)."""
+
+    def test_score(self, theta) -> float:
+        """Test-set score (offline eval); default mirrors validate."""
+        raise NotImplementedError
+
+    def generate_theta(self, key):
+        """Random individual, reference init rules."""
+        return self.spec.init_theta(key)

@@ -1,0 +1,103 @@
+"""MNIST classification task: fitness = -cross-entropy on the batch,
+validation = top-1 accuracy (reference: src/classification/policies.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .base import Task
+from ..data.core import DeviceDataset
+from ..data.mnist import load_mnist
+from ..models.mnist import MnistModel, MnistModelOptions
+
+__all__ = ["MnistTask"]
+
+
+class MnistTask(Task):
+    artifact_is_fitness = True
+
+    def __init__(self, exp: dict, config, tpu_cfg):
+        popts = exp.get("policy_options", {})
+        self.vbn = bool(popts.get("vbn", False))
+        self.model = MnistModel(MnistModelOptions(vbn=self.vbn))
+        self.config = config
+
+        data_root = exp.get("data_root", "./data")
+        raw = load_mnist(
+            data_root,
+            synthetic_sizes=tuple(exp.get("synthetic_sizes", (2048, 512))),
+            seed=tpu_cfg.seed or 0,
+        )
+        self.train = DeviceDataset(
+            {"x": raw["train_x"], "y": raw["train_y"]}, len(raw["train_y"])
+        )
+        self.val = DeviceDataset(
+            {"x": raw["val_x"], "y": raw["val_y"]}, len(raw["val_y"])
+        )
+        self.test = DeviceDataset(
+            {"x": raw["test_x"], "y": raw["test_y"]}, len(raw["test_y"])
+        )
+
+    @property
+    def train_n(self) -> int:
+        return self.train.n
+
+    # ---- fitness ---------------------------------------------------------------
+
+    def rollout(self, theta, idx):
+        """-CrossEntropyLoss on the indexed batch
+        (reference: src/classification/policies.py:16-45). The reference's
+        VBN pre-pass over the ref batch is a no-op with
+        track_running_stats=False (see models/params.py:batch_stat_norm), so
+        no ref-batch plumbing is needed here."""
+        x = self.train["x"][idx]
+        y = self.train["y"][idx]
+        logits = self.model.apply(theta, x)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, y[:, None], axis=-1).mean()
+        return -nll
+
+    # ---- validation -------------------------------------------------------------
+
+    def _acc_batched(self, theta, xs, ys, bs: int):
+        """Mean of per-(full-)batch accuracies, like the reference's loop
+        over equal val batches (src/classification/policies.py:47-79)."""
+        n_batches = xs.shape[0] // bs
+        if self.config.num_val_batches:
+            n_batches = min(n_batches, self.config.num_val_batches)
+        n_batches = max(n_batches, 1)
+        use = min(n_batches * bs, xs.shape[0])
+        xb = xs[:use].reshape(-1, bs, *xs.shape[1:])[:n_batches]
+        yb = ys[:use].reshape(-1, bs)[:n_batches]
+
+        @jax.jit
+        def acc(theta, xb, yb):
+            def one(x, y):
+                pred = jnp.argmax(self.model.apply(theta, x), axis=-1)
+                return jnp.mean((pred == y).astype(jnp.float32))
+
+            return jnp.mean(jax.lax.map(lambda a: one(*a), (xb, yb)))
+
+        return float(acc(theta, xb, yb))
+
+    def validate(self, theta) -> float:
+        bs = self.config.val_batch_size or self.config.batch_size or 64
+        bs = min(bs, self.val.n)
+        return self._acc_batched(theta, self.val["x"], self.val["y"], bs)
+
+    def test_score(self, theta) -> float:
+        bs = self.config.val_batch_size or self.config.batch_size or 64
+        bs = min(bs, self.test.n)
+        return self._acc_batched(theta, self.test["x"], self.test["y"], bs)
+
+    # ---- sensitivity ------------------------------------------------------------
+
+    def sensitivity_forward(self, theta, idx):
+        """Raw logits on the batch — the SM-G-* output for MNIST
+        (reference: src/classification/nets.py:39-48)."""
+        return self.model.apply(theta, self.train["x"][idx])

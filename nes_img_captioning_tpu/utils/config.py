@@ -1,0 +1,91 @@
+"""Experiment configuration.
+
+Same public surface as the reference: one experiment JSON per run
+(reference: experiments/*.json, schema per README.md:112-257), parsed into a
+``Config`` with the reference's exact field set
+(reference: src/algorithm/tools/utils.py:14-20). Keys whose name starts with
+``_`` are disabled (the reference's convention, README.md:170-177).
+
+One addition: an optional ``"tpu"`` section with knobs that have no reference
+counterpart (they configure the SPMD execution, which replaces the Redis
+worker fleet): ``pop_chunk`` (members materialized at once per device),
+``mesh_shape`` (device mesh), ``precision`` ("f32"|"bf16" rollout compute).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any
+
+__all__ = ["Config", "TpuConfig", "load_experiment"]
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    """Runtime loop knobs — field-for-field the reference Config namedtuple
+    (src/algorithm/tools/utils.py:14-20); None means "not set"."""
+
+    l2coeff: float | None = None
+    noise_stdev: float | None = None
+    stdev_divisor: float | None = None
+    eval_prob: float | None = None
+    snapshot_freq: int | None = None
+    log_dir: str | None = None
+    batch_size: int | None = None
+    patience: int | None = None
+    val_batch_size: int | None = None
+    num_val_batches: int | None = None
+    num_val_items: int | None = None
+    cuda: bool | None = None  # accepted for config-file compat; ignored on TPU
+    max_nb_iterations: int | None = None
+    ref_batch_size: int | None = None
+    bs_multiplier: float | None = None
+    stepsize_divisor: float | None = None
+    single_batch: bool | None = None
+    schedule_limit: int | None = None
+    schedule_start: int | None = None
+
+
+@dataclasses.dataclass(frozen=True)
+class TpuConfig:
+    """TPU-execution knobs (no reference counterpart)."""
+
+    pop_chunk: int = 0  # 0 = all pairs at once
+    mesh_shape: tuple[int, ...] | None = None
+    precision: str = "f32"  # rollout compute dtype: "f32" | "bf16"
+    seed: int | None = None  # master RNG seed; None = nondeterministic
+
+
+def _strip_disabled(d: dict) -> dict:
+    return {k: v for k, v in d.items() if not k.startswith("_")}
+
+
+def parse_config(exp: dict) -> Config:
+    known = {f.name for f in dataclasses.fields(Config)}
+    cfg = _strip_disabled(exp.get("config", {}))
+    unknown = set(cfg) - known
+    if unknown:
+        raise ValueError(f"unknown config keys: {sorted(unknown)}")
+    return Config(**cfg)
+
+
+def parse_tpu_config(exp: dict) -> TpuConfig:
+    cfg = _strip_disabled(exp.get("tpu", {}))
+    if "mesh_shape" in cfg and cfg["mesh_shape"] is not None:
+        cfg["mesh_shape"] = tuple(cfg["mesh_shape"])
+    return TpuConfig(**cfg)
+
+
+def load_experiment(path_or_dict: str | dict[str, Any]) -> dict[str, Any]:
+    """Load an experiment JSON and strip ``_``-disabled keys (top level and
+    inside ``config``)."""
+    if isinstance(path_or_dict, dict):
+        exp = dict(path_or_dict)
+    else:
+        with open(path_or_dict) as f:
+            exp = json.load(f)
+    exp = _strip_disabled(exp)
+    if "config" in exp:
+        exp["config"] = _strip_disabled(exp["config"])
+    return exp

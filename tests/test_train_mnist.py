@@ -1,0 +1,171 @@
+"""End-to-end integration tests: MNIST NIC-NES / NIC-ES train for a few
+generations on the 8-virtual-device CPU mesh (the reference's cheap smoke
+workload role, SURVEY.md §4), produce reference-format checkpoints, and
+improve fitness.
+"""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pytest
+
+from nes_img_captioning_tpu.utils.config import load_experiment
+
+
+def _mnist_exp(algorithm: str, log_dir: str, **over):
+    exp = load_experiment(f"experiments/mnist_{ 'es' if algorithm=='nic_es' else 'nes' }.json")
+    exp["log_dir"] = log_dir
+    exp["nb_offspring"] = over.pop("nb_offspring", 16)
+    exp["config"]["batch_size"] = 32
+    exp["config"]["snapshot_freq"] = 2
+    # keep the smoke test fast: plain gaussian mutation by default
+    exp["policy_options"]["model_options"]["safe_mutations"] = over.pop(
+        "safe_mutations", ""
+    )
+    exp["tpu"] = {"seed": 0, **over.pop("tpu", {})}
+    exp.update(over)
+    return exp
+
+
+def test_nes_trains_and_checkpoints(tmp_path):
+    from nes_img_captioning_tpu.algorithms.nes import NESMaster
+
+    exp = _mnist_exp("nic_nes", str(tmp_path / "run"))
+    master = NESMaster(exp)
+    f0 = None
+    master.run_master(max_iterations=4)
+
+    stats = master.stats
+    means = stats.score_stats()[1]
+    assert len(means) == 4
+    # -xent fitness should improve from random (~-2.30) within 4 generations
+    assert means[-1] > means[0]
+
+    # reference-format artifacts
+    zinfos = glob.glob(str(tmp_path / "run" / "snapshot" / "z_info_*.json"))
+    assert len(zinfos) == 1
+    with open(zinfos[0]) as f:
+        infos = json.load(f)
+    for key in ("score_stats", "noise_std_stats", "best_elites", "current_model",
+                "optimizer_state", "trainloader_lth", "orig_bs"):
+        assert key in infos, key
+    assert os.path.isfile(infos["current_model"])
+    assert os.path.isfile(infos["optimizer_state"])
+    assert os.path.isfile(master.it.best_elites()[0][0])
+
+
+def test_nes_resume_from_infos(tmp_path):
+    from nes_img_captioning_tpu.algorithms.nes import NESMaster
+
+    exp = _mnist_exp("nic_nes", str(tmp_path / "run1"))
+    NESMaster(exp).run_master(max_iterations=2)
+    zinfo = glob.glob(str(tmp_path / "run1" / "snapshot" / "z_info_*.json"))[0]
+
+    exp2 = _mnist_exp("nic_nes", str(tmp_path / "run2"))
+    exp2["from_infos"] = zinfo
+    master2 = NESMaster(exp2)
+    assert master2.it.iteration() == 1  # stored post-increment value - 1
+    assert len(master2.stats.score_stats()[1]) == 2
+    master2.run_master(max_iterations=4)
+    # resume re-runs the snapshotted iteration (reference: iteration.py:64-66
+    # stores iter-1), so iterations 2,3,4 append to the 2 restored entries
+    assert len(master2.stats.score_stats()[1]) == 5
+
+
+def test_nes_single_batch_mode(tmp_path):
+    from nes_img_captioning_tpu.algorithms.nes import NESMaster
+
+    exp = _mnist_exp("nic_nes", str(tmp_path / "run"))
+    exp["config"]["single_batch"] = True
+    master = NESMaster(exp)
+    master.run_master(max_iterations=2)
+    assert len(master.stats.score_stats()[1]) == 2
+
+
+def test_nes_safe_mutations_smoke(tmp_path):
+    from nes_img_captioning_tpu.algorithms.nes import NESMaster
+
+    exp = _mnist_exp(
+        "nic_nes", str(tmp_path / "run"), safe_mutations="SM-G-SUM"
+    )
+    master = NESMaster(exp)
+    master.run_master(max_iterations=2)
+    sens = np.asarray(master._sens)
+    assert sens.min() >= 1.0  # clamped at underflow then divided by it
+    assert sens.max() > 1.0
+
+
+def test_es_trains_and_checkpoints(tmp_path):
+    from nes_img_captioning_tpu.algorithms.es import ESMaster
+
+    exp = _mnist_exp("nic_es", str(tmp_path / "run"), nb_offspring=32)
+    # fixed tiny train set (batch == dataset) so truncation selection
+    # hill-climbs the actual objective deterministically
+    exp["synthetic_sizes"] = [32, 64]
+    exp["config"]["snapshot_freq"] = 3
+    master = ESMaster(exp)
+    master.run_master(max_iterations=6)
+
+    maxes = master.stats.score_stats()[2]
+    means = master.stats.score_stats()[1]
+    assert len(means) == 6
+    assert maxes[-1] > maxes[0]  # best offspring improves on the fixed batch
+    assert means[-1] > means[0]  # population mean improves too
+
+    zinfos = glob.glob(str(tmp_path / "run" / "snapshot" / "z_info_*.json"))
+    assert len(zinfos) == 1
+    with open(zinfos[0]) as f:
+        infos = json.load(f)
+    for key in ("parents", "elites_to_evaluate", "best_elites"):
+        assert key in infos, key
+    # all referenced model files exist (resumable checkpoint)
+    for _, path in infos["parents"]:
+        assert os.path.isfile(path), path
+    for _, path in infos["elites_to_evaluate"]:
+        assert os.path.isfile(path), path
+    # parents = podium elites + selected offspring
+    pop, elites = exp["population_size"], exp["num_elites"]
+    assert len(infos["parents"]) == pop  # E elites + (pop - E) children
+
+
+def test_es_resume_from_infos(tmp_path):
+    from nes_img_captioning_tpu.algorithms.es import ESMaster
+
+    exp = _mnist_exp("nic_es", str(tmp_path / "run1"))
+    ESMaster(exp).run_master(max_iterations=2)
+    zinfo = glob.glob(str(tmp_path / "run1" / "snapshot" / "z_info_*.json"))[0]
+
+    exp2 = _mnist_exp("nic_es", str(tmp_path / "run2"))
+    exp2["from_infos"] = zinfo
+    master2 = ESMaster(exp2)
+    assert master2.parents_mat is not None
+    master2.run_master(max_iterations=3)
+    # resume re-runs the snapshotted iteration (see NES resume test)
+    assert len(master2.stats.score_stats()[1]) == 4
+
+
+def test_es_tournament_selection(tmp_path):
+    from nes_img_captioning_tpu.algorithms.es import ESMaster
+
+    exp = _mnist_exp("nic_es", str(tmp_path / "run"))
+    exp["selection"] = "tournament"
+    exp["tournament_size"] = 3
+    master = ESMaster(exp)
+    master.run_master(max_iterations=2)
+    assert len(master.stats.score_stats()[1]) == 2
+
+
+def test_nes_on_virtual_mesh(tmp_path):
+    """Population sharded over the 8 virtual CPU devices."""
+    from nes_img_captioning_tpu.algorithms.nes import NESMaster
+
+    exp = _mnist_exp(
+        "nic_nes", str(tmp_path / "run"),
+        tpu={"seed": 0, "mesh_shape": [8], "pop_chunk": 8},
+    )
+    master = NESMaster(exp)
+    assert master.mesh is not None
+    master.run_master(max_iterations=2)
+    assert len(master.stats.score_stats()[1]) == 2

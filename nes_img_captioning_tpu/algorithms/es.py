@@ -91,7 +91,8 @@ class ESEngine:
     def _eval_fn(self, parents_mat, sens_mat, sigma, seeds, pidx, sidx, idx_row):
         def one(seed, pi, si):
             child = self._child(parents_mat, sens_mat, sigma, seed, pi, si)
-            return self.task.rollout(child, idx_row)
+            key = jax.random.fold_in(jax.random.key(seed), 3)
+            return self.task.rollout(child, idx_row, key=key)
 
         return jax.lax.map(
             lambda xs: jax.vmap(one)(*xs), (seeds, pidx, sidx)
@@ -100,7 +101,8 @@ class ESEngine:
     def _fresh_eval_fn(self, seeds, idx_row):
         def one(seed):
             child = self.task.spec.init_theta(jax.random.key(seed))
-            return self.task.rollout(child, idx_row)
+            key = jax.random.fold_in(jax.random.key(seed), 3)
+            return self.task.rollout(child, idx_row, key=key)
 
         return jax.lax.map(lambda s: jax.vmap(one)(s), seeds)
 

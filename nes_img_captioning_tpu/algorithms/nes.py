@@ -105,8 +105,11 @@ class NESEngine:
 
         def pair(seed, idx_i):
             delta = self._delta(theta, sens, sigma, seed)
-            pos = self.task.rollout(theta + delta, idx_i)
-            neg = self.task.rollout(theta - delta, idx_i)
+            base = jax.random.key(seed)
+            pos = self.task.rollout(theta + delta, idx_i,
+                                    key=jax.random.fold_in(base, 1))
+            neg = self.task.rollout(theta - delta, idx_i,
+                                    key=jax.random.fold_in(base, 2))
             return jax.tree_util.tree_map(
                 lambda a, b: jnp.stack([a, b]), pos, neg
             )

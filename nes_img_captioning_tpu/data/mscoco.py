@@ -1,0 +1,135 @@
+"""Karpathy-split MSCOCO data: cocotalk.json + cocotalk_label.h5 + fc
+features (reference: src/captioning/dataloader.py, same on-disk contract).
+
+* ``input_json`` — {'ix_to_word': {id: word}, 'images': [{'split', 'id',
+  'file_path'}, ...]}; vocab_size = len(ix_to_word)
+  (dataloader.py:57-61).
+* ``input_label_h5`` — 'labels' (M, seq_length) int, 'label_start_ix' /
+  'label_end_ix' (N,) 1-based caption ranges per image
+  (dataloader.py:71-80).
+* ``input_fc_dir`` — per-image '<id>.npy' 2048-d feature files
+  (dataloader.py:238-240). Because 113k tiny file reads are a poor fit for a
+  TPU host, the first load consolidates them into '<input_fc_dir>_fc.npy'
+  (+ '_ids.npy') next to the dir and later runs memory-map that single file.
+
+Split semantics match the reference: 'restval' images join 'train' when
+train_only == 0 (dataloader.py:84-98).
+
+The whole per-split feature matrix is then uploaded to device once —
+training batches are device-side gathers (see data/__init__.py).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["CocoData"]
+
+
+class CocoData:
+    def __init__(self, opts: dict, train_only: int = 0):
+        self.opts = opts
+        with open(opts["input_json"]) as f:
+            info = json.load(f)
+        self.ix_to_word = info["ix_to_word"]
+        self.vocab_size = len(self.ix_to_word)
+        self.images = info["images"]
+
+        import h5py
+
+        with h5py.File(opts["input_label_h5"], "r") as h5:
+            self.labels = np.asarray(h5["labels"], dtype=np.int32)
+            self.label_start_ix = np.asarray(h5["label_start_ix"], dtype=np.int64)
+            self.label_end_ix = np.asarray(h5["label_end_ix"], dtype=np.int64)
+        self.seq_length = self.labels.shape[1]
+
+        self.split_ix = {"train": [], "val": [], "test": []}
+        for ix, img in enumerate(self.images):
+            split = img["split"]
+            if split in self.split_ix:
+                self.split_ix[split].append(ix)
+            elif train_only == 0:  # restval
+                self.split_ix["train"].append(ix)
+        for k, v in self.split_ix.items():
+            logger.info("assigned %d images to split %s", len(v), k)
+
+        self._fc = self._load_fc(opts["input_fc_dir"])
+
+    # ---- features --------------------------------------------------------------
+
+    def _load_fc(self, fc_dir: str) -> np.ndarray:
+        """(N_images, feat_dim) f32, ordered like self.images."""
+        cache_feats = fc_dir.rstrip("/") + "_fc.npy"
+        cache_ids = fc_dir.rstrip("/") + "_ids.npy"
+        ids = np.asarray([img["id"] for img in self.images], dtype=np.int64)
+        if os.path.isfile(cache_feats) and os.path.isfile(cache_ids):
+            cached_ids = np.load(cache_ids)
+            if np.array_equal(cached_ids, ids):
+                return np.load(cache_feats, mmap_mode="r")
+        feats = np.stack(
+            [
+                np.load(os.path.join(fc_dir, f"{img['id']}.npy")).astype(np.float32)
+                for img in self.images
+            ]
+        )
+        try:
+            np.save(cache_feats, feats)
+            np.save(cache_ids, ids)
+        except OSError:
+            pass  # read-only data dir: skip the consolidation cache
+        return feats
+
+    # ---- per-split views ----------------------------------------------------------
+
+    def split_feats(self, split: str) -> np.ndarray:
+        return np.ascontiguousarray(self._fc[self.split_ix[split]])
+
+    def split_gts(self, split: str) -> list:
+        """Per image of the split: (M_i, seq_length) int32 array of ALL its
+        reference captions (reference get_batch 'gts',
+        dataloader.py:166-167)."""
+        out = []
+        for ix in self.split_ix[split]:
+            s, e = self.label_start_ix[ix] - 1, self.label_end_ix[ix]
+            out.append(self.labels[s:e])
+        return out
+
+    def split_image_ids(self, split: str) -> list:
+        return [self.images[ix]["id"] for ix in self.split_ix[split]]
+
+    def split_len(self, split: str) -> int:
+        return len(self.split_ix[split])
+
+    def get_captions(self, split_pos: int, split: str, seq_per_img: int,
+                     rng) -> np.ndarray:
+        """seq_per_img contiguous captions of one image (subsample with
+        replacement when fewer exist — reference dataloader.py:115-133)."""
+        ix = self.split_ix[split][split_pos]
+        ix1, ix2 = self.label_start_ix[ix] - 1, self.label_end_ix[ix] - 1
+        ncap = ix2 - ix1 + 1
+        if ncap < seq_per_img:
+            rows = [
+                self.labels[rng.integers(ix1, ix2 + 1)] for _ in range(seq_per_img)
+            ]
+            return np.stack(rows)
+        start = rng.integers(ix1, ix2 - seq_per_img + 2)
+        return self.labels[start : start + seq_per_img]
+
+    def decode_sequence(self, seq: np.ndarray) -> list[str]:
+        """Token rows -> sentences; stops at the first 0
+        (reference: src/captioning/eval_utils.py:13-27)."""
+        out = []
+        for row in np.asarray(seq):
+            words = []
+            for t in row:
+                if t <= 0:
+                    break
+                words.append(self.ix_to_word[str(int(t))])
+            out.append(" ".join(words))
+        return out

@@ -38,9 +38,10 @@ class Task(abc.ABC):
         """Number of training items (defines generations per epoch)."""
 
     @abc.abstractmethod
-    def rollout(self, theta, idx):
+    def rollout(self, theta, idx, key=None):
         """Pure fn: fitness scalar or artifacts for one individual on the
-        training batch given by index vector ``idx``."""
+        training batch given by index vector ``idx``. ``key`` seeds any
+        stochastic decoding (sampled captions); tasks may ignore it."""
 
     def host_fitness(self, artifacts, idx):
         import numpy as np

@@ -49,7 +49,7 @@ class MnistTask(Task):
 
     # ---- fitness ---------------------------------------------------------------
 
-    def rollout(self, theta, idx):
+    def rollout(self, theta, idx, key=None):
         """-CrossEntropyLoss on the indexed batch
         (reference: src/classification/policies.py:16-45). The reference's
         VBN pre-pass over the ref batch is a no-op with

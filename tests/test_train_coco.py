@@ -1,0 +1,138 @@
+"""End-to-end captioning tests on a synthetic MSCOCO-format fixture."""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pytest
+
+from nes_img_captioning_tpu.data.synthetic import make_synthetic_coco
+from nes_img_captioning_tpu.utils.config import load_experiment
+
+
+@pytest.fixture(scope="module")
+def coco_fixture(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cocodata")
+    return make_synthetic_coco(str(d), n_train=48, n_val=12, n_test=12,
+                               vocab_size=25, fc_feat_size=32)
+
+
+def _coco_exp(copts, log_dir, fitness="greedy", **over):
+    return {
+        "algorithm": over.pop("algorithm", "nic_nes"),
+        "config": {
+            "eval_prob": 0.003,
+            "noise_stdev": 0.01,
+            "snapshot_freq": 2,
+            "batch_size": 8,
+            "val_batch_size": 8,
+            "num_val_items": 8,
+            "patience": 0,
+            "schedule_start": 1000,
+            "schedule_limit": 1000,
+            "stdev_divisor": 1,
+            "bs_multiplier": 1,
+            "stepsize_divisor": 1,
+            "l2coeff": 1e-7,
+            "single_batch": over.pop("single_batch", True),
+        },
+        "policy_options": {
+            "net": "fc_caption",
+            "fitness": fitness,
+            "vbn": False,
+            "model_options": {
+                "safe_mutations": over.pop("safe_mutations", ""),
+                "safe_mutation_underflow": 0.1,
+                "input_encoding_size": 16,
+                "rnn_size": 16,
+                "fc_feat_size": 32,
+            },
+        },
+        "optimizer_options": {"type": "adam", "args": {"stepsize": 0.001}},
+        "dataset": "mscoco",
+        "nb_offspring": over.pop("nb_offspring", 8),
+        "population_size": over.pop("population_size", 4),
+        "selection": "uniform",
+        "num_elites": 1,
+        "num_elite_cands": 1,
+        "caption_options": copts,
+        "log_dir": log_dir,
+        "tpu": {"seed": 0},
+        **over,
+    }
+
+
+def test_coco_nes_greedy_end_to_end(coco_fixture, tmp_path):
+    from nes_img_captioning_tpu.algorithms.nes import NESMaster
+
+    exp = _coco_exp(coco_fixture, str(tmp_path / "run"))
+    master = NESMaster(exp)
+    master.run_master(max_iterations=3)
+
+    means = master.stats.score_stats()[1]
+    assert len(means) == 3
+    assert all(np.isfinite(means))
+    # CIDEr-D * 100 fitness is non-negative
+    assert master.stats.score_stats()[0][-1] >= 0.0
+
+    zinfo = glob.glob(str(tmp_path / "run" / "snapshot" / "z_info_*.json"))[0]
+    with open(zinfo) as f:
+        infos = json.load(f)
+    assert os.path.isfile(infos["current_model"])
+    # validation CIDEr recorded each generation
+    assert len(master.stats.acc_stats()) == 3
+
+
+@pytest.mark.parametrize("fitness", ["sample", "self_critical", "greedy_linprob",
+                                     "sc_loss"])
+def test_coco_fitness_variants(coco_fixture, tmp_path, fitness):
+    from nes_img_captioning_tpu.algorithms.nes import NESMaster
+
+    exp = _coco_exp(coco_fixture, str(tmp_path / "run"), fitness=fitness,
+                    nb_offspring=4)
+    master = NESMaster(exp)
+    master.run_master(max_iterations=1)
+    assert np.isfinite(master.stats.score_stats()[1][-1])
+
+
+def test_coco_es_end_to_end(coco_fixture, tmp_path):
+    from nes_img_captioning_tpu.algorithms.es import ESMaster
+
+    exp = _coco_exp(coco_fixture, str(tmp_path / "run"), algorithm="nic_es")
+    master = ESMaster(exp)
+    master.run_master(max_iterations=3)
+    assert len(master.stats.score_stats()[1]) == 3
+    zinfo = glob.glob(str(tmp_path / "run" / "snapshot" / "z_info_*.json"))[0]
+    with open(zinfo) as f:
+        infos = json.load(f)
+    for _, path in infos["parents"]:
+        assert os.path.isfile(path)
+
+
+def test_coco_warm_start_from_single(coco_fixture, tmp_path):
+    """from_single: pretrained .pth warm start (reference README.md:98-106)."""
+    from nes_img_captioning_tpu.algorithms.nes import NESMaster
+    import jax
+
+    exp = _coco_exp(coco_fixture, str(tmp_path / "run1"))
+    m1 = NESMaster(exp)
+    pth = str(tmp_path / "warm.pth")
+    m1.task.spec.save_pth(np.asarray(m1.theta), pth)
+
+    exp2 = _coco_exp(coco_fixture, str(tmp_path / "run2"))
+    exp2["from_single"] = pth
+    m2 = NESMaster(exp2)
+    np.testing.assert_array_equal(np.asarray(m1.theta), np.asarray(m2.theta))
+
+
+def test_coco_sensitivity_smoke(coco_fixture, tmp_path):
+    from nes_img_captioning_tpu.algorithms.nes import NESMaster
+
+    exp = _coco_exp(coco_fixture, str(tmp_path / "run"),
+                    safe_mutations="SM-G-SUM", nb_offspring=4)
+    master = NESMaster(exp)
+    master.run_master(max_iterations=1)
+    sens = np.asarray(master._sens)
+    assert sens.shape == (master.engine.dim,)
+    assert sens.min() >= 1.0 and np.isfinite(sens).all()

@@ -1,0 +1,135 @@
+"""Benchmark: NIC-NES generation throughput on the flagship fc_caption model.
+
+North-star metric (BASELINE.md): population evaluations/sec for fc_caption
+NES at population 288, batch 128; target >=1000 evals/s on a v5e-8, i.e.
+125 evals/s/chip. This bench runs on however many chips are visible (one, in
+this harness) and reports vs_baseline against the per-chip share.
+
+A "population eval" = one fitness evaluation of one population member = one
+greedy LSTM decode of a 128-image batch + its CIDEr-D scoring (288 member
+evaluations per generation: 144 antithetic pairs x 2 signs). The timed loop
+is the full training generation: per-member batch sampling, device
+perturb+decode sweep, host CIDEr-D scoring (native C++ scorer), rank-weighted
+gradient + Adam update on device. Validation (rare, eval_prob~0.003 in the
+reference) is excluded, as in the reference's throughput regime.
+
+Data: synthetic MSCOCO-format fixture at real dimensions (vocab 9487,
+2048-d features, ~10-token captions) — the decode and scoring cost depend on
+dims, not on pixel content.
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+POP = 288          # nb_offspring (144 antithetic pairs)
+BATCH = 128
+N_TIMED = 5
+TARGET_PER_CHIP = 1000.0 / 8.0  # BASELINE.json: >=1000 evals/s on v5e-8
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+
+    from nes_img_captioning_tpu.algorithms.nes import NESEngine
+    from nes_img_captioning_tpu.algorithms.optimizers import Adam
+    from nes_img_captioning_tpu.data.core import EpochSampler
+    from nes_img_captioning_tpu.data.synthetic import make_synthetic_coco
+    from nes_img_captioning_tpu.ops.mutation import MutationKind
+    from nes_img_captioning_tpu.parallel.mesh import make_mesh
+    from nes_img_captioning_tpu.tasks.captioning import CocoTask
+    from nes_img_captioning_tpu.utils.config import Config, TpuConfig
+
+    devices = jax.devices()
+    n_chips = len(devices)
+    log(f"devices: {devices}")
+
+    data_dir = os.environ.get("NES_BENCH_DATA", "/tmp/nes_bench_data")
+    if not os.path.isfile(os.path.join(data_dir, "cocotalk.json")):
+        log("generating synthetic MSCOCO-format bench data ...")
+        make_synthetic_coco(
+            data_dir, n_train=2048, n_val=256, n_test=256,
+            vocab_size=9487, fc_feat_size=2048, cap_len=9, seed=0,
+        )
+    copts = {
+        "input_json": os.path.join(data_dir, "cocotalk.json"),
+        "input_label_h5": os.path.join(data_dir, "cocotalk_label.h5"),
+        "input_fc_dir": os.path.join(data_dir, "fc"),
+    }
+    exp = {
+        "dataset": "mscoco",
+        "caption_options": copts,
+        "policy_options": {
+            "fitness": "greedy", "vbn": False,
+            "model_options": {
+                "input_encoding_size": 128, "rnn_size": 128,
+                "fc_feat_size": 2048,
+            },
+        },
+    }
+    cfg = Config(batch_size=BATCH)
+    task = CocoTask(exp, cfg, TpuConfig(seed=0))
+    log(f"model: fc_caption, {task.spec.num_params:,} params")
+
+    mesh = make_mesh() if n_chips > 1 else None
+    engine = NESEngine(task, Adam(0.001), MutationKind.DEFAULT,
+                       mesh=mesh, pop_chunk=16)
+
+    F = POP // 2
+    rng = np.random.default_rng(0)
+    theta = task.generate_theta(jax.random.PRNGKey(0))
+    sens = jax.numpy.ones((engine.dim,), jax.numpy.float32)
+    opt_state = engine.optimizer.init(engine.dim)
+    sampler = EpochSampler(task.train_n, seed=0)
+    _ = task.train_scorer  # build/fit the native scorer outside the loop
+
+    def generation(theta, opt_state):
+        seeds = rng.integers(0, 2**32, size=F, dtype=np.uint32)
+        idx = sampler.member_batches(F, BATCH)
+        artifacts = engine.eval_generation(theta, sens, 0.01, seeds, idx)
+        fitnesses = task.host_fitness(artifacts, idx)
+        opt_state, theta, ratio = engine.update(
+            theta, opt_state, sens, 0.01, seeds, fitnesses, 0.001, 1e-7
+        )
+        return jax.block_until_ready(theta), opt_state
+
+    log("warmup (compile) ...")
+    t0 = time.time()
+    theta, opt_state = generation(theta, opt_state)
+    log(f"warmup took {time.time() - t0:.1f}s")
+
+    t0 = time.time()
+    for _ in range(N_TIMED):
+        theta, opt_state = generation(theta, opt_state)
+    dt = (time.time() - t0) / N_TIMED
+    evals_per_sec = POP / dt
+    log(f"{dt * 1e3:.1f} ms/generation -> {evals_per_sec:.1f} evals/s "
+        f"on {n_chips} chip(s)")
+
+    baseline = TARGET_PER_CHIP * n_chips
+    print(json.dumps({
+        "metric": (
+            f"population evals/sec, fc_caption NIC-NES generation "
+            f"(pop {POP}, batch {BATCH}, greedy CIDEr-D fitness, "
+            f"{n_chips} chip(s); baseline = north-star 1000/s-on-8-chips "
+            f"prorated per chip)"
+        ),
+        "value": round(evals_per_sec, 1),
+        "unit": "evals/s",
+        "vs_baseline": round(evals_per_sec / baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

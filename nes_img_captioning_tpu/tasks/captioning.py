@@ -18,8 +18,6 @@ independent samples per image and decode B*5 rows, as the reference does.
 from __future__ import annotations
 
 import logging
-import os
-import pickle
 
 import jax
 import jax.numpy as jnp
@@ -27,8 +25,8 @@ import numpy as np
 
 from .base import Task
 from ..data.mscoco import CocoData
-from ..fitness.ciderd import CiderScorer
 from ..fitness.criteria import FITNESS_CRITERIA, apply_criterion
+from ..fitness.scorer import IndexedCiderScorer
 from ..models.fc_caption import FCCaptionModel, FCModelOptions
 
 logger = logging.getLogger(__name__)
@@ -79,7 +77,6 @@ class CocoTask(Task):
 
         self._train_scorer = None
         self._val_scorer = None
-        self._df_cache = copts["input_label_h5"] + ".dfcache.pkl"
         self._val_decode = jax.jit(
             lambda theta, feats: self.model.sample(theta, feats, True)[0]
         )
@@ -87,34 +84,25 @@ class CocoTask(Task):
     # ---- scorers -----------------------------------------------------------------
 
     @property
-    def train_scorer(self) -> CiderScorer:
+    def train_scorer(self) -> IndexedCiderScorer:
         """CIDEr-D with DF fitted over the train ground truths — the
         equivalent of the reference's frozen 'coco-train-idxs' table
-        (captioning/policies.py:72)."""
+        (captioning/policies.py:72). Native C++ core when available."""
         if self._train_scorer is None:
-            sc = CiderScorer(variant="cider-d")
-            if os.path.isfile(self._df_cache):
-                with open(self._df_cache, "rb") as f:
-                    sc.df, sc.ref_len = pickle.load(f)
-            else:
-                logger.info("fitting CIDEr-D DF over %d train images",
-                            len(self.train_gts))
-                sc.fit_df(self.train_gts)
-                try:
-                    with open(self._df_cache, "wb") as f:
-                        pickle.dump((sc.df, sc.ref_len), f)
-                except OSError:
-                    pass
-            self._train_scorer = sc
+            logger.info("fitting CIDEr-D DF over %d train images",
+                        len(self.train_gts))
+            self._train_scorer = IndexedCiderScorer(
+                self.train_gts, variant="cider-d"
+            )
         return self._train_scorer
 
     @property
-    def val_scorer(self) -> CiderScorer:
+    def val_scorer(self) -> IndexedCiderScorer:
         """Plain CIDEr with corpus DF over the val refs — the metric
         pycocoevalcap computes for eval_split (captioning/eval_utils.py:30-57;
         scored here on token ids, which map 1:1 to words)."""
         if self._val_scorer is None:
-            self._val_scorer = CiderScorer(variant="cider").fit_df(self.val_gts)
+            self._val_scorer = IndexedCiderScorer(self.val_gts, variant="cider")
         return self._val_scorer
 
     @property
@@ -142,43 +130,49 @@ class CocoTask(Task):
 
     # ---- host fitness ---------------------------------------------------------------
 
-    def _member_fitness(self, seq, idx_row, lp=None, greedy_seq=None) -> float:
-        spi = seq.shape[0] // len(idx_row)
-        gts = [self.train_gts[i] for i in idx_row for _ in range(spi)]
-        _, scores = self.train_scorer.score(seq, gts)
-        if self.fitness_kind in SELF_CRITICAL_KINDS:
-            # greedy baseline: one row per image, broadcast to spi samples
-            _, base = self.train_scorer.score(
-                greedy_seq, [self.train_gts[i] for i in idx_row]
-            )
-            scores = scores - np.repeat(base, spi)
-        if self.fitness_kind in FITNESS_CRITERIA:
-            rewards = np.repeat(scores[:, None], seq.shape[1], axis=1)
-            return apply_criterion(self.fitness_kind, lp, seq, rewards)
-        return float(scores.mean() * 100.0)
-
     def host_fitness(self, artifacts, idx):
+        """All members scored in ONE native-scorer call (the per-generation
+        host hot path — SURVEY.md §7.3), then reduced per member."""
         seq = np.asarray(artifacts["seq"])
         lead = seq.shape[:-2]
         n_members = int(np.prod(lead))
-        seq_f = seq.reshape(n_members, *seq.shape[-2:])
-        lp_f = (
-            np.asarray(artifacts["logprob"]).reshape(n_members, *seq.shape[-2:])
-            if "logprob" in artifacts else [None] * n_members
-        )
-        g = artifacts.get("greedy_seq")
-        g_f = (
-            np.asarray(g).reshape(n_members, np.asarray(g).shape[-2], -1)
-            if g is not None else [None] * n_members
-        )
+        R, T = seq.shape[-2:]
+        seq_f = seq.reshape(n_members, R, T)
+
+        # image index for every decoded row of every member
         idx = np.asarray(idx)
-        # idx is (B,) shared, or (lead[0], B): NES members flatten as (F, 2)
-        # pairs sharing batch row f = m // 2; ES as (L,) one row each
-        per = int(np.prod(lead[1:])) if len(lead) > 1 else 1
-        out = np.zeros(n_members, np.float32)
-        for m in range(n_members):
-            row = idx if idx.ndim == 1 else idx[m // per]
-            out[m] = self._member_fitness(seq_f[m], row, lp_f[m], g_f[m])
+        if idx.ndim == 1:
+            rows = np.broadcast_to(idx, (n_members, idx.shape[0]))
+        else:
+            # NES members flatten as (F, 2) pairs sharing batch row m // 2
+            per = int(np.prod(lead[1:])) if len(lead) > 1 else 1
+            rows = np.repeat(idx, per, axis=0)
+        B = rows.shape[1]
+        spi = R // B
+        img_idx = np.repeat(rows, spi, axis=1)  # (n_members, R)
+
+        _, scores = self.train_scorer.score(
+            seq_f.reshape(-1, T), img_idx.reshape(-1)
+        )
+        scores = scores.reshape(n_members, R)
+
+        if self.fitness_kind in SELF_CRITICAL_KINDS:
+            # greedy baseline: one row per image, broadcast to spi samples
+            g = np.asarray(artifacts["greedy_seq"]).reshape(n_members, B, T)
+            _, base = self.train_scorer.score(
+                g.reshape(-1, T), rows.reshape(-1)
+            )
+            scores = scores - np.repeat(base.reshape(n_members, B), spi, axis=1)
+
+        if self.fitness_kind in FITNESS_CRITERIA:
+            lp = np.asarray(artifacts["logprob"]).reshape(n_members, R, T)
+            rewards = np.repeat(scores[:, :, None], T, axis=2)
+            out = np.asarray([
+                apply_criterion(self.fitness_kind, lp[m], seq_f[m], rewards[m])
+                for m in range(n_members)
+            ], dtype=np.float32)
+        else:
+            out = (scores.mean(axis=1) * 100.0).astype(np.float32)
         return out.reshape(lead)
 
     # ---- validation ------------------------------------------------------------------
@@ -195,14 +189,14 @@ class CocoTask(Task):
         bs = self.config.val_batch_size or self.config.batch_size or 64
         num = self.config.num_val_items or -1
         seqs = self._decode_split(theta, self.val_fc, num, bs)
-        mean, _ = self.val_scorer.score(seqs, self.val_gts[: len(seqs)])
+        mean, _ = self.val_scorer.score(seqs, np.arange(len(seqs)))
         return float(mean)
 
     def test_score(self, theta) -> float:
         bs = self.config.val_batch_size or self.config.batch_size or 64
         seqs = self._decode_split(theta, self.test_fc, -1, bs)
-        scorer = CiderScorer(variant="cider").fit_df(self.test_gts)
-        mean, _ = scorer.score(seqs, self.test_gts[: len(seqs)])
+        scorer = IndexedCiderScorer(self.test_gts, variant="cider")
+        mean, _ = scorer.score(seqs, np.arange(len(seqs)))
         return float(mean)
 
     # ---- sensitivity ---------------------------------------------------------------

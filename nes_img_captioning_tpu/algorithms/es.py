@@ -116,6 +116,14 @@ class ESEngine:
             lambda s: self.task.spec.init_theta(jax.random.key(s))
         )(seeds)
 
+    def _sens_rows(self, pidx: np.ndarray) -> np.ndarray:
+        """Sensitivity row per offspring: per-parent for SM-G-* (the
+        reference caches sens per (task, parent)); the single shared row 0
+        for SM-VECTOR and non-safe kinds."""
+        if self.mutation in (MutationKind.SAFE_GRAD_SUM, MutationKind.SAFE_GRAD_ABS):
+            return pidx
+        return np.zeros_like(pidx)
+
     # ---- host entry points ---------------------------------------------------------
 
     def eval_generation(self, parents_mat, sens_mat, sigma, seeds, pidx, idx_row,
@@ -128,7 +136,7 @@ class ESEngine:
             out = self._fresh_eval_jit(seeds_d, jnp.asarray(idx_row, jnp.int32))
         else:
             pidx_d = self._lay_out(pidx.astype(np.int32), n_chunks, chunk)
-            sidx = pidx if self.mutation.is_safe else np.zeros_like(pidx)
+            sidx = self._sens_rows(pidx)
             sidx_d = self._lay_out(sidx.astype(np.int32), n_chunks, chunk)
             out = self._eval_jit(
                 parents_mat, sens_mat, jnp.float32(sigma),
@@ -142,7 +150,7 @@ class ESEngine:
         seeds = jnp.asarray(np.asarray(seeds, np.uint32))
         if fresh:
             return self._materialize_fresh_jit(seeds)
-        sidx = pidx if self.mutation.is_safe else np.zeros_like(pidx)
+        sidx = self._sens_rows(pidx)
         return self._materialize_jit(
             parents_mat, sens_mat, jnp.float32(sigma),
             seeds, jnp.asarray(pidx, jnp.int32), jnp.asarray(sidx, jnp.int32),
@@ -190,6 +198,14 @@ class ESMaster:
         self.elites_to_evaluate: list = []  # (cand_id, path)
         self.policy_theta = None  # representative (best evaluated elite)
         self._sens_mat = jnp.ones((1, self.engine.dim), jnp.float32)
+        if self.mutation is MutationKind.SAFE_VECTOR:
+            from .nes import _load_sensitivity_file
+
+            v = jnp.asarray(
+                _load_sensitivity_file(mopts["safe_mutation_vector"]), jnp.float32
+            )
+            v = jnp.maximum(v, self._underflow)
+            self._sens_mat = (v / v.min())[None, :]
 
         self._init_population(exp)
 
@@ -279,6 +295,17 @@ class ESMaster:
         ]
         self._sens_mat = jnp.stack(rows)
 
+    def _profile_hook(self, iteration: int):
+        """Trace generation 2 with jax.profiler when tpu.profile is set
+        (SURVEY.md §5.1)."""
+        if not self.tpu_cfg.profile:
+            return
+        if iteration == 2:
+            jax.profiler.start_trace(os.path.join(self.exp["log_dir"], "profile"))
+        elif iteration == 3:
+            jax.profiler.stop_trace()
+            logger.info("wrote jax profiler trace for generation 2")
+
     # ---- main loop ------------------------------------------------------------------
 
     def run_master(self, plot: bool = False, max_iterations: int | None = None):
@@ -297,6 +324,7 @@ class ESMaster:
                 it.incr_iteration()
                 stats.set_step_tstart()
                 logger.info("********** Iteration %d **********", it.iteration())
+                self._profile_hook(it.iteration())
 
                 sigma, bs = it.get_noise_stdev(), it.batch_size()
                 from ..data.core import EpochSampler

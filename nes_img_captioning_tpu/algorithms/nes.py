@@ -164,6 +164,17 @@ class NESEngine:
         )
 
 
+def _load_sensitivity_file(path: str) -> np.ndarray:
+    """Load a precomputed SM-VECTOR sensitivity (.pt torch tensor or .npy —
+    reference: src/algorithm/safe_mutations.py:28-32)."""
+    if path.endswith(".npy"):
+        return np.load(path)
+    import torch
+
+    t = torch.load(path, map_location="cpu", weights_only=False)
+    return np.asarray(t.detach().numpy() if hasattr(t, "detach") else t)
+
+
 def setup_log_dir(exp: dict) -> str:
     """logs/{algo}_{dataset}_{net}_{pid} (reference: tools/setup.py:22-25)."""
     log_dir = exp.get("log_dir") or "logs/{}_{}_{}_{}".format(
@@ -220,6 +231,11 @@ class NESMaster:
         )
         self.experiment.opt_state = self.opt_state
         self._sens = jnp.ones((self.engine.dim,), jnp.float32)
+        if self.mutation is MutationKind.SAFE_VECTOR:
+            self.set_sensitivity_vector(
+                _load_sensitivity_file(mopts["safe_mutation_vector"]),
+                mopts.get("safe_mutation_underflow", 0.01),
+            )
 
     # ---- init modes (reference: tools/setup.py:33-44) ---------------------------
 
@@ -290,6 +306,19 @@ class NESMaster:
         v = jnp.maximum(v, underflow)
         self._sens = v / v.min()
 
+    def _profile_hook(self, iteration: int):
+        """Trace generation 2 with jax.profiler when tpu.profile is set
+        (the reference's cProfile launch scripts' role — SURVEY.md §5.1)."""
+        if not self.tpu_cfg.profile:
+            return
+        if iteration == 2:
+            jax.profiler.start_trace(
+                os.path.join(self.exp["log_dir"], "profile")
+            )
+        elif iteration == 3:
+            jax.profiler.stop_trace()
+            logger.info("wrote jax profiler trace for generation 2")
+
     # ---- main loop ---------------------------------------------------------------------
 
     def run_master(self, plot: bool = False, max_iterations: int | None = None):
@@ -304,6 +333,7 @@ class NESMaster:
                 it.incr_iteration()
                 stats.set_step_tstart()
                 logger.info("********** Iteration %d **********", it.iteration())
+                self._profile_hook(it.iteration())
 
                 sigma, bs = it.get_noise_stdev(), it.batch_size()
                 seeds = self._rng.integers(0, 2**32, size=F, dtype=np.uint32)

@@ -77,3 +77,27 @@ def calc_sensitivity(task, theta, idx, kind: MutationKind, underflow: float):
     if kind is MutationKind.SAFE_GRAD_ABS:
         return sm_g_abs(forward, theta, idx, underflow)
     raise ValueError(f"no gradient sensitivity for {kind}")
+
+
+def dump_all_sensitivities(task, theta, batch_size: int, directory: str,
+                           kind: MutationKind = MutationKind.SAFE_GRAD_SUM,
+                           underflow: float = 0.01, seed: int = 0) -> list[str]:
+    """Whole-dataset per-batch sensitivity dump — the SM-VECTOR preparation
+    step (reference: CaptPolicy.calculate_all_sensitivities,
+    src/captioning/policies.py:74-84, writing sens_t{i}_p0_*.pt files)."""
+    import os
+
+    import numpy as np
+    import torch
+
+    os.makedirs(directory, exist_ok=True)
+    paths = []
+    n = task.train_n
+    order = np.random.default_rng(seed).permutation(n)
+    for i, s in enumerate(range(0, n - batch_size + 1, batch_size)):
+        idx = jnp.asarray(order[s : s + batch_size].astype(np.int32))
+        sens = calc_sensitivity(task, theta, idx, kind, underflow)
+        path = os.path.join(directory, f"sens_t{i}_p0_{os.getpid()}.pt")
+        torch.save(torch.from_numpy(np.asarray(sens).copy()), path)
+        paths.append(path)
+    return paths

@@ -55,6 +55,7 @@ class TpuConfig:
     mesh_shape: tuple[int, ...] | None = None
     precision: str = "f32"  # rollout compute dtype: "f32" | "bf16"
     seed: int | None = None  # master RNG seed; None = nondeterministic
+    profile: bool = False  # jax.profiler trace of generation 2 into log_dir
 
 
 def _strip_disabled(d: dict) -> dict:

@@ -18,6 +18,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <algorithm>
 #include <unordered_map>
 #include <vector>
 
@@ -41,16 +42,58 @@ inline int cut_len(const int32_t* row, int T) {
     return T;
 }
 
-struct RefVec {
-    // per order: sorted (hash -> weight tf*idf) pairs, flattened
-    std::vector<uint64_t> hashes[MAX_N];
-    std::vector<float> weights[MAX_N];
-    float norm[MAX_N];
-    int length;
+struct OrderTable {
+    // union of the image's reference n-grams for one order, sorted by hash;
+    // weights is (n_unique x n_refs) row-major: tf*idf of each ref for that
+    // n-gram (0 when the ref lacks it). One binary search per candidate
+    // n-gram then serves all refs at once.
+    std::vector<uint64_t> hashes;
+    std::vector<float> weights;
 };
 
 struct Image {
-    std::vector<RefVec> refs;
+    OrderTable tables[MAX_N];
+    std::vector<float> norms;    // (n_refs x MAX_N) row-major
+    std::vector<int> lengths;    // per ref
+    int n_refs = 0;
+};
+
+// open-addressing uint64 -> float map: DF lookups are the scoring hot spot
+// (one per candidate n-gram) and a flat linear-probe table beats
+// unordered_map's pointer chasing ~3x. Key 0 marks empty slots — pack()
+// stores tokens +1, so a real n-gram hash is never 0.
+struct FlatMap {
+    std::vector<uint64_t> keys;
+    std::vector<float> vals;
+    uint64_t mask = 0;
+
+    static inline uint64_t mix(uint64_t h) {
+        h ^= h >> 33;
+        h *= 0xff51afd7ed558ccdULL;
+        h ^= h >> 33;
+        return h;
+    }
+    void build(const std::unordered_map<uint64_t, float>& src) {
+        size_t cap = 16;
+        while (cap < src.size() * 2) cap <<= 1;
+        keys.assign(cap, 0);
+        vals.assign(cap, 0.0f);
+        mask = cap - 1;
+        for (auto& kv : src) {
+            uint64_t i = mix(kv.first) & mask;
+            while (keys[i]) i = (i + 1) & mask;
+            keys[i] = kv.first;
+            vals[i] = kv.second;
+        }
+    }
+    inline float find(uint64_t k) const {
+        uint64_t i = mix(k) & mask;
+        while (keys[i]) {
+            if (keys[i] == k) return vals[i];
+            i = (i + 1) & mask;
+        }
+        return 0.0f;
+    }
 };
 
 struct Scorer {
@@ -58,12 +101,11 @@ struct Scorer {
     double sigma;   // length-penalty sigma
     bool clip;      // CIDEr-D: clip counts + length penalty
     double ref_len; // log(#images)
-    std::unordered_map<uint64_t, float> df[MAX_N];
+    FlatMap df[MAX_N];
     std::vector<Image> images;
 
     double idf(int n_i, uint64_t h) const {
-        auto it = df[n_i].find(h);
-        double d = it == df[n_i].end() ? 0.0 : it->second;
+        double d = df[n_i].find(h);
         return ref_len - std::log(d < 1.0 ? 1.0 : d);
     }
 };
@@ -111,11 +153,11 @@ void cider_free(void* h) { delete static_cast<Scorer*>(h); }
 void cider_fit(void* hp, const int32_t* refs, int64_t n_rows, int T,
                const int64_t* img_ptr, int64_t n_images) {
     auto* s = static_cast<Scorer*>(hp);
-    for (int i = 0; i < s->n; ++i) s->df[i].clear();
     s->images.assign(n_images, Image());
     s->ref_len = std::log((double)(n_images < 1 ? 1 : n_images));
 
     // pass 1: document frequencies (count images, not captions)
+    std::unordered_map<uint64_t, float> df_acc[MAX_N];
     std::unordered_map<uint64_t, int> seen[MAX_N];
     for (int64_t im = 0; im < n_images; ++im) {
         for (int i = 0; i < s->n; ++i) seen[i].clear();
@@ -127,31 +169,47 @@ void cider_fit(void* hp, const int32_t* refs, int64_t n_rows, int T,
                     seen[n - 1][pack(row, i, n)] = 1;
         }
         for (int i = 0; i < s->n; ++i)
-            for (auto& kv : seen[i]) s->df[i][kv.first] += 1.0f;
+            for (auto& kv : seen[i]) df_acc[i][kv.first] += 1.0f;
     }
+    for (int i = 0; i < s->n; ++i) s->df[i].build(df_acc[i]);
 
-    // pass 2: per-ref tf-idf vectors + norms
+    // pass 2: per-image sorted union tables with per-ref tf-idf columns
     CandCounts cc;
     for (int64_t im = 0; im < n_images; ++im) {
         auto& img = s->images[im];
-        img.refs.reserve(img_ptr[im + 1] - img_ptr[im]);
-        for (int64_t r = img_ptr[im]; r < img_ptr[im + 1]; ++r) {
-            count_ngrams(refs + r * T, T, s->n, &cc);
-            RefVec rv;
-            rv.length = cc.length;
+        int M = (int)(img_ptr[im + 1] - img_ptr[im]);
+        img.n_refs = M;
+        img.norms.assign((size_t)M * MAX_N, 0.0f);
+        img.lengths.assign(M, 0);
+
+        // collect (hash, ref, weight) triples per order
+        std::vector<std::pair<uint64_t, std::pair<int, float>>> trip[MAX_N];
+        for (int r = 0; r < M; ++r) {
+            count_ngrams(refs + (img_ptr[im] + r) * T, T, s->n, &cc);
+            img.lengths[r] = cc.length;
             for (int n_i = 0; n_i < s->n; ++n_i) {
                 double norm2 = 0.0;
-                auto& hs = rv.hashes[n_i];
-                auto& ws = rv.weights[n_i];
                 for (auto& p : cc.tf[n_i]) {
                     float w = (float)(p.second * s->idf(n_i, p.first));
-                    hs.push_back(p.first);
-                    ws.push_back(w);
+                    trip[n_i].push_back({p.first, {r, w}});
                     norm2 += (double)w * w;
                 }
-                rv.norm[n_i] = (float)std::sqrt(norm2);
+                img.norms[(size_t)r * MAX_N + n_i] = (float)std::sqrt(norm2);
             }
-            img.refs.push_back(std::move(rv));
+        }
+        for (int n_i = 0; n_i < s->n; ++n_i) {
+            auto& t = trip[n_i];
+            std::sort(t.begin(), t.end(),
+                      [](const auto& a, const auto& b) { return a.first < b.first; });
+            auto& tab = img.tables[n_i];
+            for (size_t k = 0; k < t.size(); ++k) {
+                if (tab.hashes.empty() || tab.hashes.back() != t[k].first) {
+                    tab.hashes.push_back(t[k].first);
+                    tab.weights.resize(tab.hashes.size() * M, 0.0f);
+                }
+                tab.weights[(tab.hashes.size() - 1) * M + t[k].second.first] =
+                    t[k].second.second;
+            }
         }
     }
 }
@@ -162,51 +220,53 @@ void cider_score(void* hp, const int32_t* cands, int64_t R, int T,
                  const int64_t* img_ids, double* out) {
     auto* s = static_cast<Scorer*>(hp);
     CandCounts cc;
-    std::vector<std::pair<uint64_t, float>> wc[MAX_N];  // hash -> weight
+    std::vector<double> dots;  // (n_refs x n_orders) accumulators
     for (int64_t c = 0; c < R; ++c) {
         count_ngrams(cands + c * T, T, s->n, &cc);
+        const Image& img = s->images[img_ids[c]];
+        int M = img.n_refs;
+        dots.assign((size_t)M * s->n, 0.0);
+
         double norm_c[MAX_N];
         for (int n_i = 0; n_i < s->n; ++n_i) {
-            wc[n_i].clear();
+            const auto& tab = img.tables[n_i];
             double norm2 = 0.0;
             for (auto& p : cc.tf[n_i]) {
                 float w = (float)(p.second * s->idf(n_i, p.first));
-                wc[n_i].emplace_back(p.first, w);
                 norm2 += (double)w * w;
+                // one binary search serves all refs of the image
+                auto it = std::lower_bound(tab.hashes.begin(), tab.hashes.end(),
+                                           p.first);
+                if (it != tab.hashes.end() && *it == p.first) {
+                    const float* row =
+                        &tab.weights[(size_t)(it - tab.hashes.begin()) * M];
+                    for (int r = 0; r < M; ++r) {
+                        float wr = row[r];
+                        float wcl = s->clip ? (w < wr ? w : wr) : w;
+                        dots[(size_t)r * s->n + n_i] += (double)wcl * wr;
+                    }
+                }
             }
             norm_c[n_i] = std::sqrt(norm2);
         }
 
-        const Image& img = s->images[img_ids[c]];
         double acc = 0.0;
-        for (const RefVec& rv : img.refs) {
+        for (int r = 0; r < M; ++r) {
             double val = 0.0;
             for (int n_i = 0; n_i < s->n; ++n_i) {
-                double dot = 0.0;
-                for (auto& p : wc[n_i]) {
-                    // refs have few ngrams; linear probe beats hashing here
-                    const auto& hs = rv.hashes[n_i];
-                    for (size_t k = 0; k < hs.size(); ++k) {
-                        if (hs[k] == p.first) {
-                            float wr = rv.weights[n_i][k];
-                            float w = s->clip ? (p.second < wr ? p.second : wr)
-                                              : p.second;
-                            dot += (double)w * wr;
-                            break;
-                        }
-                    }
-                }
-                if (norm_c[n_i] != 0.0 && rv.norm[n_i] != 0.0)
-                    dot /= norm_c[n_i] * rv.norm[n_i];
+                double dot = dots[(size_t)r * s->n + n_i];
+                float nr = img.norms[(size_t)r * MAX_N + n_i];
+                if (norm_c[n_i] != 0.0 && nr != 0.0f)
+                    dot /= norm_c[n_i] * (double)nr;
                 val += dot;
             }
             if (s->clip) {
-                double delta = (double)(cc.length - rv.length);
+                double delta = (double)(cc.length - img.lengths[r]);
                 val *= std::exp(-(delta * delta) / (2.0 * s->sigma * s->sigma));
             }
             acc += val;
         }
-        out[c] = 10.0 * acc / (double)(img.refs.size() * s->n);
+        out[c] = 10.0 * acc / (double)(M * s->n);
     }
 }
 

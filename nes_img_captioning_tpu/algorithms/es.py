@@ -27,8 +27,8 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import NamedSharding, PartitionSpec as P
 
+from .engine_base import PopulationEngine
 from .experiment import ESExperiment
 from .iteration import Iteration
 from .nes import setup_log_dir
@@ -44,37 +44,15 @@ logger = logging.getLogger(__name__)
 __all__ = ["ESEngine", "ESMaster"]
 
 
-class ESEngine:
+class ESEngine(PopulationEngine):
     def __init__(self, task, mutation: MutationKind, mesh=None, pop_chunk: int = 0):
-        self.task = task
+        super().__init__(task, mesh=mesh, pop_chunk=pop_chunk)
         self.mutation = mutation
-        self.mesh = mesh
-        self.pop_chunk = pop_chunk
-        self.dim = task.spec.num_params
 
         self._eval_jit = jax.jit(self._eval_fn)
         self._fresh_eval_jit = jax.jit(self._fresh_eval_fn)
         self._materialize_jit = jax.jit(self._materialize_fn)
         self._materialize_fresh_jit = jax.jit(self._materialize_fresh_fn)
-
-    # ---- layout (shared shape logic with the NES engine) -------------------------
-
-    def _chunks(self, L: int) -> tuple[int, int]:
-        chunk = self.pop_chunk or L
-        chunk = min(chunk, L)
-        ndev = pop_axis_size(self.mesh)
-        chunk = max(chunk, ndev)
-        while L % chunk:
-            chunk += 1
-        return L // chunk, chunk
-
-    def _lay_out(self, arr: np.ndarray, n_chunks: int, chunk: int):
-        arr = np.asarray(arr).reshape(n_chunks, chunk, *arr.shape[1:])
-        if self.mesh is None or pop_axis_size(self.mesh) == 1:
-            return jnp.asarray(arr)
-        spec = [None] * arr.ndim
-        spec[1] = "pop"
-        return jax.device_put(arr, NamedSharding(self.mesh, P(*spec)))
 
     # ---- device fns ------------------------------------------------------------------
 
@@ -142,7 +120,7 @@ class ESEngine:
                 parents_mat, sens_mat, jnp.float32(sigma),
                 seeds_d, pidx_d, sidx_d, jnp.asarray(idx_row, jnp.int32),
             )
-        return jax.tree_util.tree_map(lambda o: o.reshape(L, *o.shape[2:]), out)
+        return self._unchunk(out, L)
 
     def materialize(self, parents_mat, sens_mat, sigma, seeds, pidx,
                     fresh: bool = False):

@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .engine_base import PopulationEngine
 from .experiment import NESExperiment
 from .iteration import Iteration
 from .optimizers import OptState
@@ -43,51 +44,24 @@ from ..ops.ranks import compute_centered_ranks
 from ..parallel.mesh import make_mesh, pop_axis_size
 from ..utils.config import parse_config, parse_tpu_config
 from ..utils.files import mkdir_p, remove_all_files_from_dir
-from jax.sharding import NamedSharding, PartitionSpec as P
 
 logger = logging.getLogger(__name__)
 
 __all__ = ["NESEngine", "NESMaster"]
 
 
-class NESEngine:
+class NESEngine(PopulationEngine):
     """Device-side math for one NES generation. Pure w.r.t. all inputs, so
     the same object also backs the multi-chip dry-run and the benchmark."""
 
     def __init__(self, task, optimizer, mutation: MutationKind, mesh=None,
                  pop_chunk: int = 0):
-        self.task = task
+        super().__init__(task, mesh=mesh, pop_chunk=pop_chunk)
         self.optimizer = optimizer
         self.mutation = mutation
-        self.mesh = mesh
-        self.pop_chunk = pop_chunk
-        self.dim = task.spec.num_params
 
         self._eval_jit = jax.jit(self._eval_fn)
         self._update_jit = jax.jit(self._update_fn)
-
-    # ---- layout helpers --------------------------------------------------------
-
-    def _chunks(self, F: int) -> tuple[int, int]:
-        chunk = self.pop_chunk or F
-        chunk = min(chunk, F)
-        ndev = pop_axis_size(self.mesh)
-        # each wave spans the whole mesh; pad chunk up to a device multiple
-        chunk = max(chunk, ndev)
-        while F % chunk:
-            chunk += 1  # F is kept a multiple of ndev by the master
-        return F // chunk, chunk
-
-    def _lay_out(self, arr: np.ndarray, n_chunks: int, chunk: int):
-        """(F, ...) host array -> (n_chunks, chunk, ...) device array with the
-        chunk axis sharded over the mesh, so every lax.map wave runs on all
-        chips at once."""
-        arr = np.asarray(arr).reshape(n_chunks, chunk, *arr.shape[1:])
-        if self.mesh is None or pop_axis_size(self.mesh) == 1:
-            return jnp.asarray(arr)
-        spec = [None] * arr.ndim
-        spec[1] = "pop"
-        return jax.device_put(arr, NamedSharding(self.mesh, P(*spec)))
 
     # ---- device fns ----------------------------------------------------------------
 
@@ -148,9 +122,7 @@ class NESEngine:
         seeds_d = self._lay_out(seeds.astype(np.uint32), n_chunks, chunk)
         idx_d = self._lay_out(idx.astype(np.int32), n_chunks, chunk)
         out = self._eval_jit(theta, sens, jnp.float32(sigma), seeds_d, idx_d)
-        return jax.tree_util.tree_map(
-            lambda o: o.reshape(F, *o.shape[2:]), out
-        )
+        return self._unchunk(out, F)
 
     def update(self, theta, opt_state, sens, sigma, seeds: np.ndarray,
                fitnesses: np.ndarray, stepsize: float, l2coeff: float):

@@ -39,6 +39,16 @@ def run(argv=None):
 
     setup_logging()
 
+    import os
+
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     if args.who == "workers":
         logging.info(
             "This framework runs the population loop as a single SPMD program "

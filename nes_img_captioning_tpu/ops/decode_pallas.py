@@ -1,0 +1,194 @@
+"""Pallas fused greedy-decode kernel for the FC captioning model.
+
+Why: the NES/ES fitness inner loop is an 18-step greedy LSTM decode per
+population member (reference FCModel._sample, src/captioning/nets.py:183-245).
+Under plain XLA every step re-streams the member's ~10 MB of weights (embed +
+logit tables dominate) from HBM: 288 members x 17 steps x 10 MB ≈ 51 GB per
+generation — the measured bottleneck. This kernel keeps ONE member's weights
+resident in VMEM for the whole decode (one load, 17 uses), turning the sweep
+from bandwidth-bound into MXU-bound.
+
+Design notes:
+* one kernel instance = one population member decoding its (B, feat) batch;
+  population batching comes from ``jax.vmap`` (lifted to a Pallas grid axis),
+  so the engines' existing vmap/lax.map machinery applies unchanged;
+* the embedding lookup is a one-hot matmul (token -> one_hot (B, Vpad) @
+  embed (Vpad, E)) — an MXU-friendly replacement for a gather, with the same
+  cost shape as the logit matmul;
+* greedy logprob needs only two reductions (max and logsumexp of the
+  logits), never a materialized (B, Vpad) log-softmax;
+* vocab is padded to a lane multiple with logit bias -1e9 on padding, so
+  argmax/logsumexp are unaffected;
+* outputs are written (T, B) — per-step stores land on the sublane axis —
+  and transposed outside the kernel;
+* all matmuls run at the weights' dtype (f32 or bf16) with f32 accumulation
+  (preferred_element_type);
+* the per-row finished mask reproduces the reference's early-stop semantics
+  exactly (masked tokens stay 0; logprob writes stop one step after the whole
+  batch finishes) — see models/fc_caption.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["greedy_decode_fused", "prepare_decode_params", "pad_vocab"]
+
+PAD_LANE = 128
+NEG = -1e9
+
+
+def pad_vocab(v1: int) -> int:
+    return ((v1 + PAD_LANE - 1) // PAD_LANE) * PAD_LANE
+
+
+def _kernel(feats_ref, img_w_ref, img_b_ref, i2h_w_ref, i2h_b_ref,
+            h2h_w_ref, h2h_b_ref, logit_w_ref, logit_b_ref, embed_ref,
+            seq_ref, lp_ref, h_ref, c_ref, tok_ref, unfin_ref, alive_ref,
+            *, seq_length: int, rnn_size: int):
+    R = rnn_size
+    f32 = jnp.float32
+
+    def dott(x, w):
+        # x (B, K) @ w (K, N) -> (B, N), f32 accumulation on the MXU;
+        # weights are stored pre-transposed (prepare_decode_params) so no
+        # per-step transpose of the big logit/embed tables is needed
+        return jnp.dot(x, w, preferred_element_type=f32)
+
+    def lstm(xt, h, c):
+        a = (dott(xt, i2h_w_ref[:]) + i2h_b_ref[:]
+             + dott(h, h2h_w_ref[:]) + h2h_b_ref[:])
+        gates = jax.nn.sigmoid(a[:, : 3 * R])
+        i_g, f_g, o_g = gates[:, :R], gates[:, R:2 * R], gates[:, 2 * R:3 * R]
+        cand = jnp.maximum(a[:, 3 * R:4 * R], a[:, 4 * R:5 * R])
+        c2 = f_g * c + i_g * cand
+        h2 = o_g * jnp.tanh(c2)
+        return h2, c2
+
+    dt = img_w_ref.dtype
+    B = feats_ref.shape[0]
+
+    # t = 0: image step (its token is discarded, reference nets.py:199-200)
+    x0 = dott(feats_ref[:], img_w_ref[:]) + img_b_ref[:]
+    h, c = lstm(x0.astype(dt), jnp.zeros((B, R), f32), jnp.zeros((B, R), f32))
+    h_ref[:], c_ref[:] = h, c
+
+    Vpad = embed_ref.shape[0]
+    # token -> one-hot recomputed inline each step (cheaper in VMEM than a
+    # (B, Vpad) scratch buffer); tok_ref starts at <bos>=0
+    col = jax.lax.broadcasted_iota(jnp.int32, (B, Vpad), 1)
+    tok_ref[:] = jnp.zeros((B, 1), jnp.int32)
+    unfin_ref[:] = jnp.ones((B, 1), jnp.int32)
+    alive_ref[0] = 1
+
+    # loop state lives in scratch refs (Mosaic does not legalize scf.for
+    # with vector carries), so the fori_loop carries nothing
+    def step(t, _):
+        onehot = (col == tok_ref[:]).astype(dt)
+        xt = dott(onehot, embed_ref[:])
+        h, c = lstm(xt.astype(dt), h_ref[:], c_ref[:])
+        h_ref[:], c_ref[:] = h, c
+
+        logits = dott(h.astype(dt), logit_w_ref[:]) + logit_b_ref[:]
+        mx = jnp.max(logits, axis=1, keepdims=True)            # (B, 1)
+        lse = mx + jnp.log(
+            jnp.sum(jnp.exp(logits - mx), axis=1, keepdims=True)
+        )
+        tok = jnp.argmax(logits, axis=1).astype(jnp.int32)[:, None]
+
+        unfinished = unfin_ref[:] * (tok > 0).astype(jnp.int32)
+        tok = tok * unfinished
+        alive = alive_ref[0] > 0
+        lp = jnp.where(alive, (mx - lse)[:, 0], 0.0)
+
+        seq_ref[pl.ds(t, 1), :] = tok[:, 0][None, :]
+        lp_ref[pl.ds(t, 1), :] = lp[None, :]
+        tok_ref[:] = tok
+        unfin_ref[:] = unfinished
+        alive_ref[0] = jnp.where(
+            jnp.logical_and(alive, jnp.any(unfinished > 0)), 1, 0
+        )
+        return 0
+
+    jax.lax.fori_loop(0, seq_length, step, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("seq_length", "interpret"))
+def greedy_decode_fused(params: dict, feats, seq_length: int = 16,
+                        interpret: bool = False):
+    """One member's greedy decode with VMEM-resident weights.
+
+    params: dict from ``prepare_decode_params`` (vocab axis padded, biases
+    (1, N)-shaped). feats: (B, F). Returns (seq (B, T) int32, lp (B, T) f32).
+    """
+    B = feats.shape[0]
+    R = params["h2h_w"].shape[0]
+    Vpad = params["embed"].shape[0]
+    dt = params["img_w"].dtype
+
+    kernel = functools.partial(_kernel, seq_length=seq_length, rnn_size=R)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    seq_t, lp_t = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((seq_length, B), jnp.int32),
+            jax.ShapeDtypeStruct((seq_length, B), jnp.float32),
+        ),
+        in_specs=[vmem] * 10,
+        out_specs=(vmem, vmem),
+        scratch_shapes=[
+            pltpu.VMEM((B, R), jnp.float32),    # h
+            pltpu.VMEM((B, R), jnp.float32),    # c
+            pltpu.VMEM((B, 1), jnp.int32),      # current token
+            pltpu.VMEM((B, 1), jnp.int32),      # per-row unfinished mask
+            pltpu.SMEM((1,), jnp.int32),        # batch-wide alive flag
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        feats.astype(dt),
+        params["img_w"], params["img_b"],
+        params["i2h_w"], params["i2h_b"],
+        params["h2h_w"], params["h2h_b"],
+        params["logit_w"], params["logit_b"],
+        params["embed"],
+    )
+    return seq_t.T, lp_t.T
+
+
+def prepare_decode_params(spec, theta, options, dtype=jnp.float32) -> dict:
+    """Unravel a flat theta into the padded-weight dict the kernel consumes.
+    Pure jax (jit/vmap-friendly): slices + reshapes + pad. Weights are stored
+    pre-transposed to (in_features, out_features) so every kernel matmul is a
+    standard (M,K)@(K,N) with no in-kernel transpose of the 9600-wide tables;
+    biases stay f32, (1, N)-shaped for TPU 2D layout."""
+    p = spec.unravel(theta)
+    V1 = options.vocab_size + 1
+    Vpad = pad_vocab(V1)
+    pad = Vpad - V1
+    f32 = jnp.float32
+
+    return {
+        "img_w": p["img_embed.weight"].T.astype(dtype),          # (F, E)
+        "img_b": p["img_embed.bias"].astype(f32)[None, :],
+        "i2h_w": p["core.i2h.weight"].T.astype(dtype),           # (E, 5R)
+        "i2h_b": p["core.i2h.bias"].astype(f32)[None, :],
+        "h2h_w": p["core.h2h.weight"].T.astype(dtype),           # (R, 5R)
+        "h2h_b": p["core.h2h.bias"].astype(f32)[None, :],
+        "logit_w": jnp.pad(                                       # (R, Vpad)
+            p["logit.weight"].T, ((0, 0), (0, pad))
+        ).astype(dtype),
+        "logit_b": jnp.pad(
+            p["logit.bias"], (0, pad), constant_values=NEG
+        ).astype(f32)[None, :],
+        "embed": jnp.pad(                                         # (Vpad, E)
+            p["embed.weight"], ((0, pad), (0, 0))
+        ).astype(dtype),
+    }

@@ -81,6 +81,18 @@ class CocoTask(Task):
             lambda theta, feats: self.model.sample(theta, feats, True)[0]
         )
 
+        # fused Pallas decode path: TPU-only, greedy, no norm layers
+        o = self.model.options
+        want = getattr(tpu_cfg, "fused_decode", "auto")
+        can_fuse = (
+            not (o.vbn or o.vbn_e or o.layer_n)
+            and jax.default_backend() == "tpu"
+        )
+        self._fused = can_fuse if want == "auto" else bool(want)
+        self._decode_dtype = (
+            jnp.bfloat16 if tpu_cfg.precision == "bf16" else jnp.float32
+        )
+
     # ---- scorers -----------------------------------------------------------------
 
     @property
@@ -111,11 +123,26 @@ class CocoTask(Task):
 
     # ---- device rollout -----------------------------------------------------------
 
+    def _greedy(self, theta, feats):
+        if self._fused:
+            from ..ops.decode_pallas import (
+                greedy_decode_fused,
+                prepare_decode_params,
+            )
+
+            params = prepare_decode_params(
+                self.spec, theta, self.model.options, dtype=self._decode_dtype
+            )
+            return greedy_decode_fused(
+                params, feats, seq_length=self.model.options.seq_length
+            )
+        return self.model.sample(theta, feats, greedy=True)
+
     def rollout(self, theta, idx, key=None):
         feats = self.train_fc[idx]
         art = {}
         if self.fitness_kind in GREEDY_KINDS:
-            seq, lp = self.model.sample(theta, feats, greedy=True)
+            seq, lp = self._greedy(theta, feats)
         else:
             feats5 = jnp.repeat(feats, self.seq_per_img, axis=0)
             if key is None:
@@ -125,10 +152,36 @@ class CocoTask(Task):
         if self.fitness_kind in FITNESS_CRITERIA:
             art["logprob"] = lp
         if self.fitness_kind in SELF_CRITICAL_KINDS:
-            art["greedy_seq"] = self.model.sample(theta, feats, greedy=True)[0]
+            art["greedy_seq"] = self._greedy(theta, feats)[0]
         return art
 
     # ---- host fitness ---------------------------------------------------------------
+
+    def _score_dedup(self, cands: np.ndarray, img_idx: np.ndarray) -> np.ndarray:
+        """Score unique (caption, image) pairs only, then scatter back —
+        nearby thetas frequently greedy-decode identical captions for the
+        same image, so this cuts the host CIDEr work substantially at no
+        change in results."""
+        # 64-bit multiplicative hash of (caption tokens, image): unique on a
+        # 1-D int key is ~ms; collisions are ~1e-12 at this scale
+        key = np.concatenate(
+            [np.ascontiguousarray(cands, np.int64),
+             img_idx[:, None].astype(np.int64)], axis=1
+        )
+        mult = np.array(
+            [(0x9E3779B97F4A7C15 * (i + 1)) % (1 << 64)
+             for i in range(key.shape[1])],
+            dtype=np.uint64,
+        ).view(np.int64)
+        with np.errstate(over="ignore"):
+            hashes = (key * mult).sum(axis=1)
+        _, first, inverse = np.unique(hashes, return_index=True,
+                                      return_inverse=True)
+        if len(first) >= 0.9 * len(hashes):  # few dupes: skip the indirection
+            _, scores = self.train_scorer.score(cands, img_idx)
+            return scores
+        _, uscores = self.train_scorer.score(cands[first], img_idx[first])
+        return uscores[inverse]
 
     def host_fitness(self, artifacts, idx):
         """All members scored in ONE native-scorer call (the per-generation
@@ -151,10 +204,9 @@ class CocoTask(Task):
         spi = R // B
         img_idx = np.repeat(rows, spi, axis=1)  # (n_members, R)
 
-        _, scores = self.train_scorer.score(
+        scores = self._score_dedup(
             seq_f.reshape(-1, T), img_idx.reshape(-1)
-        )
-        scores = scores.reshape(n_members, R)
+        ).reshape(n_members, R)
 
         if self.fitness_kind in SELF_CRITICAL_KINDS:
             # greedy baseline: one row per image, broadcast to spi samples

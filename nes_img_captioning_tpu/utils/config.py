@@ -56,6 +56,7 @@ class TpuConfig:
     precision: str = "f32"  # rollout compute dtype: "f32" | "bf16"
     seed: int | None = None  # master RNG seed; None = nondeterministic
     profile: bool = False  # jax.profiler trace of generation 2 into log_dir
+    fused_decode: object = "auto"  # Pallas greedy decode: "auto" | True | False
 
 
 def _strip_disabled(d: dict) -> dict:

@@ -1,0 +1,71 @@
+"""Pallas fused greedy-decode kernel: interpret-mode parity with the XLA
+decoder (which is itself token-parity-tested against the torch oracle)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from nes_img_captioning_tpu.models.fc_caption import FCCaptionModel, FCModelOptions
+from nes_img_captioning_tpu.ops.decode_pallas import (
+    greedy_decode_fused,
+    pad_vocab,
+    prepare_decode_params,
+)
+
+
+@pytest.mark.parametrize("vocab,feat,enc", [(50, 32, 16), (130, 64, 32)])
+def test_pallas_matches_xla_interpret(vocab, feat, enc):
+    opts = FCModelOptions(vocab_size=vocab, fc_feat_size=feat,
+                          input_encoding_size=enc, rnn_size=enc)
+    m = FCCaptionModel(opts)
+    theta = m.spec.init_theta(jax.random.PRNGKey(3))
+    feats = jnp.asarray(
+        np.random.default_rng(1).normal(size=(8, feat)).astype(np.float32)
+    )
+    seq_r, lp_r = m.sample(theta, feats, greedy=True)
+    params = prepare_decode_params(m.spec, theta, opts)
+    seq_p, lp_p = greedy_decode_fused(params, feats, interpret=True)
+    np.testing.assert_array_equal(np.asarray(seq_p), np.asarray(seq_r))
+    np.testing.assert_allclose(np.asarray(lp_p), np.asarray(lp_r), atol=2e-5)
+
+
+def test_pallas_early_stop_masking():
+    opts = FCModelOptions(vocab_size=40, fc_feat_size=16,
+                          input_encoding_size=8, rnn_size=8)
+    m = FCCaptionModel(opts)
+    theta = np.asarray(m.spec.init_theta(jax.random.PRNGKey(5))).copy()
+    theta[m.spec.offset("logit.bias")] += 8.0  # EOS wins fast
+    theta = jnp.asarray(theta)
+    feats = jnp.asarray(
+        np.random.default_rng(2).normal(size=(4, 16)).astype(np.float32)
+    )
+    seq_r, lp_r = m.sample(theta, feats, greedy=True)
+    seq_p, lp_p = greedy_decode_fused(
+        prepare_decode_params(m.spec, theta, opts), feats, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(seq_p), np.asarray(seq_r))
+    np.testing.assert_allclose(np.asarray(lp_p), np.asarray(lp_r), atol=2e-5)
+    assert (np.asarray(seq_p)[:, 1:] == 0).all()
+
+
+def test_pad_vocab():
+    assert pad_vocab(9488) == 9600
+    assert pad_vocab(128) == 128
+    assert pad_vocab(1) == 128
+
+
+def test_padded_vocab_never_selected():
+    """Argmax must never land in the padded vocab region (bias -1e9)."""
+    opts = FCModelOptions(vocab_size=40, fc_feat_size=16,
+                          input_encoding_size=8, rnn_size=8)
+    m = FCCaptionModel(opts)
+    theta = m.spec.init_theta(jax.random.PRNGKey(7))
+    feats = jnp.asarray(
+        np.random.default_rng(3).normal(size=(6, 16)).astype(np.float32)
+    )
+    seq_p, _ = greedy_decode_fused(
+        prepare_decode_params(m.spec, theta, opts), feats, interpret=True
+    )
+    assert int(np.asarray(seq_p).max()) <= opts.vocab_size

@@ -29,7 +29,7 @@ import numpy as np
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["CocoData"]
+__all__ = ["CocoData", "CocoBatcher"]
 
 
 class CocoData:
@@ -121,6 +121,10 @@ class CocoData:
         start = rng.integers(ix1, ix2 - seq_per_img + 2)
         return self.labels[start : start + seq_per_img]
 
+    def batcher(self, split: str, batch_size: int, seq_per_img: int = 5,
+                seed: int | None = 0) -> "CocoBatcher":
+        return CocoBatcher(self, split, batch_size, seq_per_img, seed=seed)
+
     def decode_sequence(self, seq: np.ndarray) -> list[str]:
         """Token rows -> sentences; stops at the first 0
         (reference: src/captioning/eval_utils.py:13-27)."""
@@ -133,3 +137,86 @@ class CocoData:
                 words.append(self.ix_to_word[str(int(t))])
             out.append(" ".join(words))
         return out
+
+
+class CocoBatcher:
+    """Reference-shaped batch API for drop-in compatibility.
+
+    Produces the exact ``get_batch`` dict of the reference dataloader
+    (src/captioning/dataloader.py:139-203): ``fc_feats`` with every image's
+    features repeated seq_per_img x, ``labels`` (B*spi, seq_length+2) with
+    captions in columns 1..seq_length, ``gts`` (all reference captions per
+    image), ``bounds`` {it_pos_now, it_max, wrapped} and ``infos``; shuffled
+    per epoch for the train split (BlobFetcher shuffle-on-wrap). The SPMD
+    training path does not use this (it gathers on device); this class exists
+    for users porting reference code and for offline tooling.
+    """
+
+    def __init__(self, data: CocoData, split: str, batch_size: int,
+                 seq_per_img: int = 5, seed: int | None = 0):
+        self.data = data
+        self.split = split
+        self.batch_size = batch_size
+        self.seq_per_img = seq_per_img
+        self._rng = np.random.default_rng(seed)
+        self._order = np.arange(data.split_len(split))
+        if split == "train":
+            self._rng.shuffle(self._order)
+        self._pos = 0
+        self._feats = data.split_feats(split)
+
+    def reset_iterator(self):
+        self._pos = 0
+        if self.split == "train":
+            self._rng.shuffle(self._order)
+
+    def get_batch(self, batch_size: int | None = None,
+                  seq_per_img: int | None = None) -> dict:
+        bs = batch_size or self.batch_size
+        spi = seq_per_img or self.seq_per_img
+        d = self.data
+        n = d.split_len(self.split)
+        seq_len = d.seq_length
+
+        fc, labels, gts, infos = [], [], [], []
+        wrapped = False
+        for _ in range(bs):
+            if self._pos >= n:
+                self._pos = 0
+                wrapped = True
+                if self.split == "train":
+                    self._rng.shuffle(self._order)
+            pos = self._order[self._pos]
+            self._pos += 1
+            ix = d.split_ix[self.split][pos]
+
+            fc.append(self._feats[pos])
+            caps = d.get_captions(pos, self.split, spi, self._rng)
+            lab = np.zeros((spi, seq_len + 2), dtype=np.int64)
+            lab[:, 1 : seq_len + 1] = caps
+            labels.append(lab)
+            s, e = d.label_start_ix[ix] - 1, d.label_end_ix[ix]
+            gts.append(d.labels[s:e])
+            infos.append({
+                "ix": int(ix),
+                "id": d.images[ix]["id"],
+                "file_path": d.images[ix].get("file_path", ""),
+            })
+
+        return {
+            "fc_feats": np.repeat(np.stack(fc), spi, axis=0),
+            "labels": np.concatenate(labels, axis=0),
+            "gts": tuple(gts),
+            "bounds": {"it_pos_now": self._pos, "it_max": n, "wrapped": wrapped},
+            "infos": infos,
+        }
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> dict:
+        # infinite, like the reference wrapper (captioning/experiment.py:74-76)
+        return self.get_batch()
+
+    def __len__(self) -> int:
+        return self.data.split_len(self.split) // self.batch_size

@@ -169,6 +169,7 @@ class ESMaster:
         )
 
         self._rng = np.random.default_rng(self.tpu_cfg.seed)
+        self._theta_cache: dict = {}
         # parents: device matrix (P, dim) or None for the fresh generation 0;
         # podium-elite rows are tracked by path for z_info interop
         self.parents_mat = None
@@ -245,6 +246,18 @@ class ESMaster:
                 self.elites_to_evaluate.append((i, path))
             self.policy_theta = cands[0]
 
+    def _load_theta_cached(self, path: str):
+        """Podium elite .pth files are re-read every generation in file terms
+        (the reference's transport); cache by (path, mtime) to skip the
+        ~50 ms disk+deserialize when the podium hasn't changed."""
+        mtime = os.path.getmtime(path)
+        hit = self._theta_cache.get(path)
+        if hit is not None and hit[0] == mtime:
+            return hit[1]
+        theta = self.task.spec.load_pth(path)
+        self._theta_cache[path] = (mtime, theta)
+        return theta
+
     # ---- selection ---------------------------------------------------------------
 
     def _select_parent_indices(self, L: int, n_parents: int) -> np.ndarray:
@@ -317,7 +330,9 @@ class ESMaster:
                 # 1. validation-score the elite candidates published by the
                 #    previous generation (reference eval jobs)
                 for cid, path in self.elites_to_evaluate:
-                    score = self.task.validate(jnp.asarray(spec.load_pth(path)))
+                    score = self.task.validate(
+                        jnp.asarray(self._load_theta_cached(path))
+                    )
                     it.record_eval_result(cid, path, score)
                 best_ev_acc, best_ev_elite = it.process_evaluated_elites()
                 if best_ev_elite:
@@ -368,7 +383,7 @@ class ESMaster:
                 elite_rows, elite_paths = [], []
                 for path, _ in it.best_elites():
                     if path and os.path.isfile(path):
-                        elite_rows.append(spec.load_pth(path))
+                        elite_rows.append(self._load_theta_cached(path))
                         elite_paths.append(path)
                 rows = (
                     [jnp.asarray(np.stack(elite_rows))] if elite_rows else []

@@ -195,6 +195,8 @@ class NESMaster:
 
         seed = self.tpu_cfg.seed
         self._rng = np.random.default_rng(seed)
+        self._last_eval = None
+        self._model_written = False
         self._init_theta(exp)
         self._sampler = None  # built lazily; rebuilt on annealing
 
@@ -233,8 +235,17 @@ class NESMaster:
     def _write_current_model(self):
         remove_all_files_from_dir(self._current_dir)
         self.task.spec.save_pth(np.asarray(self.theta), self._current_path)
+        self._model_written = True
         # NES checkpoint state (reference: nic_nes/iteration.py:37-41)
         self.it.extra_state = {"current_model": self._current_path}
+
+    def _podium_would_take(self, score: float) -> bool:
+        """Would record_elites copy the current model file? (strict >: ties
+        keep incumbents — sorted() is stable with incumbents first.)"""
+        elites = self.it.best_elites()
+        return any(
+            (not path) or score > sc for path, sc in elites
+        )
 
     def current_model(self) -> str:
         return self._current_path
@@ -319,8 +330,19 @@ class NESMaster:
 
                 # one validation eval per generation on the pre-update model
                 # (the reference blocks until >=1 eval result per generation,
-                # nic_nes/iteration.py:49-50)
-                eval_score = self.task.validate(self.theta)
+                # nic_nes/iteration.py:49-50); tpu.val_freq > 1 thins this to
+                # every k generations (documented deviation, carrying the
+                # last score in between)
+                val_freq = max(self.tpu_cfg.val_freq, 1)
+                if it.iteration() % val_freq == 0 or self._last_eval is None:
+                    self._last_eval = self.task.validate(self.theta)
+                eval_score = self._last_eval
+                # the model file is only needed when the score can enter the
+                # podium (record_elites would copy it) or at snapshot time —
+                # skipping the ~60 ms .pth write otherwise is behaviorally
+                # identical (a non-entering candidate is never touched)
+                if self._podium_would_take(eval_score):
+                    self._write_current_model()
                 it.record_eval_result(0, self._current_path, eval_score)
                 it.process_evaluated_elites()
 
@@ -329,7 +351,7 @@ class NESMaster:
                     self.optimizer.stepsize, config.l2coeff or 0.0,
                 )
                 self.experiment.opt_state = self.opt_state
-                self._write_current_model()
+                self._model_written = False
 
                 if it.patience_reached() or it.schedule_reached():
                     if config.stepsize_divisor:
@@ -349,6 +371,7 @@ class NESMaster:
                 it.log_stats()
 
                 if config.snapshot_freq and it.iteration() % config.snapshot_freq == 0:
+                    self._write_current_model()  # z_info references this file
                     save_snapshot(stats, it, self.experiment)
                     if plot:
                         stats.plot_stats(self.experiment.snapshot_dir())
@@ -358,6 +381,7 @@ class NESMaster:
                 if it.patience_reached() or it.schedule_reached():
                     break  # rebuild the epoch at the new batch size
 
+        self._write_current_model()
         save_snapshot(stats, it, self.experiment)
         if plot:
             stats.plot_stats(self.experiment.snapshot_dir())

@@ -57,6 +57,7 @@ class TpuConfig:
     seed: int | None = None  # master RNG seed; None = nondeterministic
     profile: bool = False  # jax.profiler trace of generation 2 into log_dir
     fused_decode: object = "auto"  # Pallas greedy decode: "auto" | True | False
+    val_freq: int = 1  # validate every k generations (1 = reference parity)
 
 
 def _strip_disabled(d: dict) -> dict:

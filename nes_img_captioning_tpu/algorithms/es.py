@@ -35,9 +35,9 @@ from .nes import setup_log_dir
 from .snapshot import save_snapshot
 from .statistics import Statistics
 from ..ops.mutation import MutationKind, gaussian_noise, shape_noise
-from ..parallel.mesh import make_mesh, pop_axis_size
+from ..parallel.mesh import make_mesh
 from ..utils.config import parse_config, parse_tpu_config
-from ..utils.files import mkdir_p, remove_all_files_but
+from ..utils.files import remove_all_files_but
 
 logger = logging.getLogger(__name__)
 

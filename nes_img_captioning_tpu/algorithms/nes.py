@@ -36,7 +36,6 @@ import numpy as np
 from .engine_base import PopulationEngine
 from .experiment import NESExperiment
 from .iteration import Iteration
-from .optimizers import OptState
 from .snapshot import save_snapshot
 from .statistics import Statistics
 from ..ops.mutation import MutationKind, gaussian_noise, shape_noise

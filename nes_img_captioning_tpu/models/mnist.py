@@ -16,7 +16,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-from .params import Leaf, ParamSpec, batch_stat_norm, dense, norm_leaves
+from .params import Leaf, ParamSpec, dense, norm_leaves
 
 __all__ = ["MnistModelOptions", "MnistModel"]
 

@@ -4,7 +4,6 @@ validation = top-1 accuracy (reference: src/classification/policies.py).
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

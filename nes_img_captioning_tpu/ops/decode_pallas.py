@@ -37,7 +37,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["greedy_decode_fused", "prepare_decode_params", "pad_vocab"]
+__all__ = ["decode_fused", "greedy_decode_fused", "prepare_decode_params",
+           "pad_vocab"]
 
 PAD_LANE = 128
 NEG = -1e9
@@ -47,10 +48,12 @@ def pad_vocab(v1: int) -> int:
     return ((v1 + PAD_LANE - 1) // PAD_LANE) * PAD_LANE
 
 
-def _kernel(feats_ref, img_w_ref, img_b_ref, i2h_w_ref, i2h_b_ref,
+def _kernel(seed_ref, feats_ref, img_w_ref, img_b_ref, i2h_w_ref, i2h_b_ref,
             h2h_w_ref, h2h_b_ref, logit_w_ref, logit_b_ref, embed_ref,
+            gumbel_ref,
             seq_ref, lp_ref, h_ref, c_ref, tok_ref, unfin_ref, alive_ref,
-            *, seq_length: int, rnn_size: int):
+            *, seq_length: int, rnn_size: int, greedy: bool,
+            host_rng: bool):
     R = rnn_size
     f32 = jnp.float32
 
@@ -72,6 +75,11 @@ def _kernel(feats_ref, img_w_ref, img_b_ref, i2h_w_ref, i2h_b_ref,
 
     dt = img_w_ref.dtype
     B = feats_ref.shape[0]
+
+    if not greedy and not host_rng:
+        # seed arrives as a (1, 128) VMEM row (SMEM scalars don't batch
+        # under vmap/lax.map); a VMEM-loaded scalar seeds fine
+        pltpu.prng_seed(seed_ref[0, 0])
 
     # t = 0: image step (its token is discarded, reference nets.py:199-200)
     x0 = dott(feats_ref[:], img_w_ref[:]) + img_b_ref[:]
@@ -99,12 +107,36 @@ def _kernel(feats_ref, img_w_ref, img_b_ref, i2h_w_ref, i2h_b_ref,
         lse = mx + jnp.log(
             jnp.sum(jnp.exp(logits - mx), axis=1, keepdims=True)
         )
-        tok = jnp.argmax(logits, axis=1).astype(jnp.int32)[:, None]
+        if greedy:
+            tok = jnp.argmax(logits, axis=1).astype(jnp.int32)[:, None]
+            lp_tok = (mx - lse)[:, 0]
+        else:
+            # multinomial sampling via Gumbel-max: argmax(logits + G) with
+            # G = -log(-log U) is an exact categorical sample — the
+            # statistical equivalent of the reference's np.random.choice path
+            # (nets.py:211-228); on-chip PRNG, one extra VPU pass.
+            # host_rng=True (tests / non-TPU) reads a precomputed table.
+            if host_rng:
+                gumbel = gumbel_ref[t]
+            else:
+                bits = pltpu.prng_random_bits((B, Vpad))
+                # uint32 -> uniform (0,1) via the mantissa trick (Mosaic has
+                # no uint32->f32 cast): top 23 bits into an exponent-1 float
+                mant = (pltpu.bitcast(bits, jnp.uint32) >> 9) | jnp.uint32(
+                    0x3F800000
+                )
+                u = pltpu.bitcast(mant, jnp.float32) - 1.0  # [0, 1)
+                u = u * (1.0 - 2e-7) + 1e-7  # strictly inside (0, 1)
+                gumbel = -jnp.log(-jnp.log(u))
+            tok = jnp.argmax(logits + gumbel, axis=1).astype(jnp.int32)[:, None]
+            # logprob of the sampled token: logits[tok] - lse via one-hot mask
+            sel = (col == tok).astype(jnp.float32)
+            lp_tok = (jnp.sum(logits * sel, axis=1, keepdims=True) - lse)[:, 0]
 
         unfinished = unfin_ref[:] * (tok > 0).astype(jnp.int32)
         tok = tok * unfinished
         alive = alive_ref[0] > 0
-        lp = jnp.where(alive, (mx - lse)[:, 0], 0.0)
+        lp = jnp.where(alive, lp_tok, 0.0)
 
         seq_ref[pl.ds(t, 1), :] = tok[:, 0][None, :]
         lp_ref[pl.ds(t, 1), :] = lp[None, :]
@@ -118,20 +150,32 @@ def _kernel(feats_ref, img_w_ref, img_b_ref, i2h_w_ref, i2h_b_ref,
     jax.lax.fori_loop(0, seq_length, step, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("seq_length", "interpret"))
-def greedy_decode_fused(params: dict, feats, seq_length: int = 16,
-                        interpret: bool = False):
-    """One member's greedy decode with VMEM-resident weights.
+@functools.partial(
+    jax.jit, static_argnames=("seq_length", "greedy", "interpret", "host_rng")
+)
+def decode_fused(params: dict, feats, seq_length: int = 16,
+                 greedy: bool = True, seed=0, interpret: bool = False,
+                 host_rng: bool = False, gumbel=None):
+    """One member's greedy or multinomial decode with VMEM-resident weights.
 
     params: dict from ``prepare_decode_params`` (vocab axis padded, biases
-    (1, N)-shaped). feats: (B, F). Returns (seq (B, T) int32, lp (B, T) f32).
+    (1, N)-shaped). feats: (B, F). ``seed`` seeds the on-chip PRNG for
+    sampling (ignored for greedy). ``host_rng=True`` takes a precomputed
+    ``gumbel`` (T, B, Vpad) table instead of the on-chip PRNG (testable in
+    interpret mode, which lacks prng lowering). Returns (seq (B, T) int32,
+    lp (B, T) f32).
     """
     B = feats.shape[0]
     R = params["h2h_w"].shape[0]
     Vpad = params["embed"].shape[0]
     dt = params["img_w"].dtype
+    if gumbel is None:
+        gumbel = jnp.zeros((1, 1, Vpad), jnp.float32)  # placeholder operand
 
-    kernel = functools.partial(_kernel, seq_length=seq_length, rnn_size=R)
+    kernel = functools.partial(
+        _kernel, seq_length=seq_length, rnn_size=R, greedy=greedy,
+        host_rng=host_rng,
+    )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     seq_t, lp_t = pl.pallas_call(
         kernel,
@@ -139,7 +183,7 @@ def greedy_decode_fused(params: dict, feats, seq_length: int = 16,
             jax.ShapeDtypeStruct((seq_length, B), jnp.int32),
             jax.ShapeDtypeStruct((seq_length, B), jnp.float32),
         ),
-        in_specs=[vmem] * 10,
+        in_specs=[vmem] * 12,
         out_specs=(vmem, vmem),
         scratch_shapes=[
             pltpu.VMEM((B, R), jnp.float32),    # h
@@ -153,14 +197,22 @@ def greedy_decode_fused(params: dict, feats, seq_length: int = 16,
         ),
         interpret=interpret,
     )(
+        jnp.full((1, 128), jnp.asarray(seed, jnp.int32)),
         feats.astype(dt),
         params["img_w"], params["img_b"],
         params["i2h_w"], params["i2h_b"],
         params["h2h_w"], params["h2h_b"],
         params["logit_w"], params["logit_b"],
         params["embed"],
+        jnp.asarray(gumbel, jnp.float32),
     )
     return seq_t.T, lp_t.T
+
+
+def greedy_decode_fused(params: dict, feats, seq_length: int = 16,
+                        interpret: bool = False):
+    return decode_fused(params, feats, seq_length=seq_length, greedy=True,
+                        interpret=interpret)
 
 
 def prepare_decode_params(spec, theta, options, dtype=jnp.float32) -> dict:

@@ -123,20 +123,52 @@ class CocoTask(Task):
 
     # ---- device rollout -----------------------------------------------------------
 
+    def _fused_params(self, theta):
+        from ..ops.decode_pallas import prepare_decode_params
+
+        return prepare_decode_params(
+            self.spec, theta, self.model.options, dtype=self._decode_dtype
+        )
+
     def _greedy(self, theta, feats):
         if self._fused:
-            from ..ops.decode_pallas import (
-                greedy_decode_fused,
-                prepare_decode_params,
-            )
+            from ..ops.decode_pallas import decode_fused
 
-            params = prepare_decode_params(
-                self.spec, theta, self.model.options, dtype=self._decode_dtype
-            )
-            return greedy_decode_fused(
-                params, feats, seq_length=self.model.options.seq_length
+            return decode_fused(
+                self._fused_params(theta), feats,
+                seq_length=self.model.options.seq_length,
             )
         return self.model.sample(theta, feats, greedy=True)
+
+    def _sampled(self, theta, feats, key):
+        """seq_per_img independent multinomial samples per image, rows
+        image-major like the reference's repeat(feats, 5, axis=0) layout."""
+        spi = self.seq_per_img
+        if self._fused:
+            from ..ops.decode_pallas import decode_fused
+
+            params = self._fused_params(theta)
+            seeds = jax.vmap(
+                lambda i: jax.random.bits(jax.random.fold_in(key, i))
+            )(jnp.arange(spi))
+
+            def one(s):
+                # one kernel call per sample lane keeps the (B, Vpad)
+                # transients inside the VMEM budget
+                return decode_fused(
+                    params, feats, greedy=False, seed=s.astype(jnp.int32),
+                    seq_length=self.model.options.seq_length,
+                )
+
+            seq, lp = jax.lax.map(one, seeds)  # (spi, B, T)
+            B = feats.shape[0]
+            T = seq.shape[-1]
+            return (
+                jnp.swapaxes(seq, 0, 1).reshape(B * spi, T),
+                jnp.swapaxes(lp, 0, 1).reshape(B * spi, T),
+            )
+        feats5 = jnp.repeat(feats, spi, axis=0)
+        return self.model.sample(theta, feats5, greedy=False, key=key)
 
     def rollout(self, theta, idx, key=None):
         feats = self.train_fc[idx]
@@ -144,10 +176,9 @@ class CocoTask(Task):
         if self.fitness_kind in GREEDY_KINDS:
             seq, lp = self._greedy(theta, feats)
         else:
-            feats5 = jnp.repeat(feats, self.seq_per_img, axis=0)
             if key is None:
                 key = jax.random.key(0)
-            seq, lp = self.model.sample(theta, feats5, greedy=False, key=key)
+            seq, lp = self._sampled(theta, feats, key)
         art["seq"] = seq
         if self.fitness_kind in FITNESS_CRITERIA:
             art["logprob"] = lp

@@ -56,6 +56,40 @@ def test_pad_vocab():
     assert pad_vocab(1) == 128
 
 
+def test_sampled_decode_host_rng():
+    """Gumbel-max sampling branch (host-rng emulation of the on-chip PRNG):
+    deterministic given the table, tokens in vocab, and the recorded logprob
+    equals log_softmax at the sampled token."""
+    from nes_img_captioning_tpu.ops.decode_pallas import decode_fused
+
+    opts = FCModelOptions(vocab_size=30, fc_feat_size=16,
+                          input_encoding_size=8, rnn_size=8)
+    m = FCCaptionModel(opts)
+    theta = m.spec.init_theta(jax.random.PRNGKey(3))
+    B = 8
+    feats = jnp.asarray(
+        np.random.default_rng(1).normal(size=(B, 16)).astype(np.float32)
+    )
+    params = prepare_decode_params(m.spec, theta, opts)
+    g = jax.random.gumbel(jax.random.PRNGKey(9), (16, B, pad_vocab(31)))
+    seq, lp = decode_fused(params, feats, greedy=False, host_rng=True,
+                           gumbel=g, interpret=True)
+    seq2, _ = decode_fused(params, feats, greedy=False, host_rng=True,
+                           gumbel=g, interpret=True)
+    seq, lp = np.asarray(seq), np.asarray(lp)
+    np.testing.assert_array_equal(seq, np.asarray(seq2))
+    assert seq.max() <= 30 and (lp <= 1e-5).all()
+
+    # step-0 logprob check against the model's log_softmax
+    p = m.spec.unravel(theta)
+    h = jnp.zeros((B, 8)); c = jnp.zeros((B, 8))
+    _, h, c = m.lstm_core(p, m._img_embed(p, feats), h, c)
+    out, h, c = m.lstm_core(p, m._embed(p, jnp.zeros((B,), jnp.int32)), h, c)
+    logp = jax.nn.log_softmax(out @ p["logit.weight"].T + p["logit.bias"], -1)
+    expect = np.take_along_axis(np.asarray(logp), seq[:, 0][:, None], 1)[:, 0]
+    np.testing.assert_allclose(lp[:, 0], expect, atol=2e-5)
+
+
 def test_padded_vocab_never_selected():
     """Argmax must never land in the padded vocab region (bias -1e9)."""
     opts = FCModelOptions(vocab_size=40, fc_feat_size=16,

@@ -126,6 +126,37 @@ def test_coco_warm_start_from_single(coco_fixture, tmp_path):
     np.testing.assert_array_equal(np.asarray(m1.theta), np.asarray(m2.theta))
 
 
+def test_coco_es_proportional_tournament_on_mesh(coco_fixture, tmp_path):
+    """The mscoco_es.json regime: SM-PROPORTIONAL mutations + tournament
+    selection, population sharded over the virtual mesh."""
+    from nes_img_captioning_tpu.algorithms.es import ESMaster
+
+    exp = _coco_exp(coco_fixture, str(tmp_path / "run"), algorithm="nic_es",
+                    safe_mutations="SM-PROPORTIONAL")
+    exp["selection"] = "tournament"
+    exp["tournament_size"] = 3
+    exp["tpu"] = {"seed": 0, "mesh_shape": [8], "pop_chunk": 8}
+    master = ESMaster(exp)
+    assert master.mesh is not None
+    master.run_master(max_iterations=2)
+    assert len(master.stats.score_stats()[1]) == 2
+
+
+@pytest.mark.parametrize("variant", ["vbn", "vbn_e", "layer_n"])
+def test_coco_norm_variants_end_to_end(coco_fixture, tmp_path, variant):
+    from nes_img_captioning_tpu.algorithms.nes import NESMaster
+
+    exp = _coco_exp(coco_fixture, str(tmp_path / "run"), nb_offspring=4)
+    if variant == "vbn":
+        exp["policy_options"]["vbn"] = True
+    else:
+        exp["policy_options"]["model_options"][variant] = True
+    master = NESMaster(exp)
+    assert not master.task._fused  # norm variants use the XLA decoder
+    master.run_master(max_iterations=1)
+    assert np.isfinite(master.stats.score_stats()[1][-1])
+
+
 def test_coco_sensitivity_smoke(coco_fixture, tmp_path):
     from nes_img_captioning_tpu.algorithms.nes import NESMaster
 

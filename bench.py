@@ -109,10 +109,11 @@ def main():
     def generation(theta, opt_state):
         seeds = rng.integers(0, 2**32, size=F, dtype=np.uint32)
         idx = sampler.member_batches(F, BATCH)
-        artifacts = engine.eval_generation(theta, sens, 0.01, seeds, idx)
+        artifacts, deltas = engine.eval_generation(theta, sens, 0.01, seeds, idx)
         fitnesses = task.host_fitness(artifacts, idx)
         opt_state, theta, ratio = engine.update(
-            theta, opt_state, sens, 0.01, seeds, fitnesses, 0.001, 1e-7
+            theta, opt_state, sens, 0.01, seeds, fitnesses, 0.001, 1e-7,
+            deltas=deltas,
         )
         return jax.block_until_ready(theta), opt_state
 

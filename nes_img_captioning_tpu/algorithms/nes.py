@@ -59,8 +59,13 @@ class NESEngine(PopulationEngine):
         self.optimizer = optimizer
         self.mutation = mutation
 
-        self._eval_jit = jax.jit(self._eval_fn)
+        self._eval_jit = jax.jit(self._eval_fn, static_argnames=("with_deltas",))
         self._update_jit = jax.jit(self._update_fn)
+        self._update_deltas_jit = jax.jit(self._update_with_deltas_fn)
+
+    # deltas kept as an eval output (skipping their regeneration in the
+    # update) while the (F, dim) matrix fits comfortably in HBM
+    DELTA_BYTES_LIMIT = 4 << 30
 
     # ---- device fns ----------------------------------------------------------------
 
@@ -72,9 +77,9 @@ class NESEngine(PopulationEngine):
             proportional=self.mutation.is_proportional,
         )
 
-    def _eval_fn(self, theta, sens, sigma, seeds, idx):
+    def _eval_fn(self, theta, sens, sigma, seeds, idx, with_deltas=False):
         """seeds (n,c) uint32, idx (n,c,B) int32 ->
-        artifacts pytree with leaves (n, c, 2, ...)."""
+        (artifacts pytree with leaves (n, c, 2, ...), deltas or None)."""
 
         def pair(seed, idx_i):
             delta = self._delta(theta, sens, sigma, seed)
@@ -83,19 +88,26 @@ class NESEngine(PopulationEngine):
                                     key=jax.random.fold_in(base, 1))
             neg = self.task.rollout(theta - delta, idx_i,
                                     key=jax.random.fold_in(base, 2))
-            return jax.tree_util.tree_map(
+            art = jax.tree_util.tree_map(
                 lambda a, b: jnp.stack([a, b]), pos, neg
             )
+            return (art, delta) if with_deltas else (art, 0)
 
-        return jax.lax.map(
+        art, deltas = jax.lax.map(
             lambda xs: jax.vmap(pair)(*xs), (seeds, idx)
         )
+        return art, (deltas if with_deltas else None)
+
+    def _apply_grad(self, theta, opt_state, grad, fitness_count, stepsize,
+                    l2coeff):
+        """reference math: nic_nes_master.py:123-133,170-182."""
+        globalg = -(grad / fitness_count) + l2coeff * theta
+        return self.optimizer.step(opt_state, theta, globalg, stepsize)
 
     def _update_fn(self, theta, opt_state, sens, sigma, seeds, fitnesses,
                    stepsize, l2coeff):
-        """Regenerate deltas from seeds, aggregate the rank-weighted gradient
-        (reference math: nic_nes_master.py:123-133,170-182), step the
-        optimizer. fitnesses: (F, 2) pos/neg."""
+        """Regenerate deltas from seeds and aggregate the rank-weighted
+        gradient. fitnesses: (F, 2) pos/neg."""
         ranked = compute_centered_ranks(fitnesses)
         weights = (ranked[:, 0] - ranked[:, 1]).reshape(seeds.shape)
 
@@ -106,25 +118,49 @@ class NESEngine(PopulationEngine):
                 "f,fd->d", w_c, deltas, preferred_element_type=jnp.float32
             )
 
-        partials = jax.lax.map(chunk_grad, (weights, seeds))
-        grad = partials.sum(0) / fitnesses.size
-        globalg = -grad + l2coeff * theta
-        return self.optimizer.step(opt_state, theta, globalg, stepsize)
+        grad = jax.lax.map(chunk_grad, (weights, seeds)).sum(0)
+        return self._apply_grad(theta, opt_state, grad, fitnesses.size,
+                                stepsize, l2coeff)
+
+    def _update_with_deltas_fn(self, theta, opt_state, deltas, fitnesses,
+                               stepsize, l2coeff):
+        """Fast path: deltas (n, c, dim) carried over from the eval sweep —
+        the gradient is a single einsum instead of a full noise regeneration."""
+        ranked = compute_centered_ranks(fitnesses)
+        weights = (ranked[:, 0] - ranked[:, 1]).reshape(deltas.shape[:2])
+        grad = jnp.einsum(
+            "nc,ncd->d", weights, deltas, preferred_element_type=jnp.float32
+        )
+        return self._apply_grad(theta, opt_state, grad, fitnesses.size,
+                                stepsize, l2coeff)
 
     # ---- host entry points ----------------------------------------------------------
 
     def eval_generation(self, theta, sens, sigma, seeds: np.ndarray,
                         idx: np.ndarray):
-        """seeds (F,), idx (F, B) -> artifacts with leaves (F, 2, ...)."""
+        """seeds (F,), idx (F, B) -> (artifacts with leaves (F, 2, ...),
+        device-resident deltas handle or None). Pass the handle back to
+        ``update`` to skip the noise regeneration."""
         F = seeds.shape[0]
         n_chunks, chunk = self._chunks(F)
+        with_deltas = F * self.dim * 4 <= self.DELTA_BYTES_LIMIT
         seeds_d = self._lay_out(seeds.astype(np.uint32), n_chunks, chunk)
         idx_d = self._lay_out(idx.astype(np.int32), n_chunks, chunk)
-        out = self._eval_jit(theta, sens, jnp.float32(sigma), seeds_d, idx_d)
-        return self._unchunk(out, F)
+        out, deltas = self._eval_jit(
+            theta, sens, jnp.float32(sigma), seeds_d, idx_d,
+            with_deltas=with_deltas,
+        )
+        return self._unchunk(out, F), deltas
 
     def update(self, theta, opt_state, sens, sigma, seeds: np.ndarray,
-               fitnesses: np.ndarray, stepsize: float, l2coeff: float):
+               fitnesses: np.ndarray, stepsize: float, l2coeff: float,
+               deltas=None):
+        if deltas is not None:
+            return self._update_deltas_jit(
+                theta, opt_state, deltas,
+                jnp.asarray(fitnesses, jnp.float32),
+                jnp.float32(stepsize), jnp.float32(l2coeff),
+            )
         F = seeds.shape[0]
         n_chunks, chunk = self._chunks(F)
         seeds_d = self._lay_out(seeds.astype(np.uint32), n_chunks, chunk)
@@ -322,7 +358,7 @@ class NESMaster:
                 idx = self._draw_batches(F, bs)
                 sens = self._maybe_sensitivity(idx[0])
 
-                artifacts = self.engine.eval_generation(
+                artifacts, deltas = self.engine.eval_generation(
                     self.theta, sens, sigma, seeds, idx
                 )
                 fitnesses = self.task.host_fitness(artifacts, idx)  # (F, 2)
@@ -348,6 +384,7 @@ class NESMaster:
                 self.opt_state, self.theta, ratio = self.engine.update(
                     self.theta, self.opt_state, sens, sigma, seeds, fitnesses,
                     self.optimizer.stepsize, config.l2coeff or 0.0,
+                    deltas=deltas,
                 )
                 self.experiment.opt_state = self.opt_state
                 self._model_written = False

@@ -92,6 +92,9 @@ class CocoTask(Task):
         self._decode_dtype = (
             jnp.bfloat16 if tpu_cfg.precision == "bf16" else jnp.float32
         )
+        self._wire_dtype = (
+            jnp.int16 if self.data.vocab_size < 32767 else jnp.int32
+        )
 
     # ---- scorers -----------------------------------------------------------------
 
@@ -179,11 +182,16 @@ class CocoTask(Task):
             if key is None:
                 key = jax.random.key(0)
             seq, lp = self._sampled(theta, feats, key)
-        art["seq"] = seq
+        # int16 tokens when the vocab allows: the device->host hop can run
+        # over a slow tunnel (~25 MB/s measured here), so halving the payload
+        # is ~47 ms per generation at bench scale
+        art["seq"] = seq.astype(self._wire_dtype)
         if self.fitness_kind in FITNESS_CRITERIA:
             art["logprob"] = lp
         if self.fitness_kind in SELF_CRITICAL_KINDS:
-            art["greedy_seq"] = self._greedy(theta, feats)[0]
+            art["greedy_seq"] = self._greedy(theta, feats)[0].astype(
+                self._wire_dtype
+            )
         return art
 
     # ---- host fitness ---------------------------------------------------------------

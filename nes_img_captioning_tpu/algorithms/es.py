@@ -210,8 +210,7 @@ class ESMaster:
             for i, (_, path) in enumerate(infos["parents"]):
                 thetas.append(spec.load_pth(path))
                 paths.append(None)
-            self.parents_mat = jnp.asarray(np.stack(thetas))
-            self._parent_paths = paths
+            self._set_parents(np.stack(thetas), paths)
             self.elites_to_evaluate = []
             for i, (_, path) in enumerate(infos["elites_to_evaluate"]):
                 new_path = self._elite_path_tpl.format(i=i)
@@ -224,8 +223,7 @@ class ESMaster:
             if isinstance(files, str):
                 files = [files]
             thetas = [spec.load_pth(f) for f in files]
-            self.parents_mat = jnp.asarray(np.stack(thetas))
-            self._parent_paths = [None] * len(thetas)
+            self._set_parents(np.stack(thetas), [None] * len(thetas))
             self.elites_to_evaluate = []
             for i, th in enumerate(thetas[:n_cands]):
                 path = self._elite_path_tpl.format(i=i)
@@ -245,6 +243,22 @@ class ESMaster:
                 spec.save_pth(np.asarray(cands[i]), path)
                 self.elites_to_evaluate.append((i, path))
             self.policy_theta = cands[0]
+
+    def _set_parents(self, mat, paths: list):
+        """Install the parent set, padding the device matrix to a STATIC
+        population_size row count — otherwise the matrix grows while the
+        podium fills (E elites join over the first generations) and every
+        new shape forces a full XLA recompile (~50 s/generation measured).
+        Padding rows duplicate row 0 and are never selected (parent indices
+        are drawn over the true count, self._n_parents)."""
+        mat = jnp.asarray(mat)
+        P = max(self.experiment.population_size(), mat.shape[0])
+        self._n_parents = int(mat.shape[0])
+        if mat.shape[0] < P:
+            pad = jnp.broadcast_to(mat[:1], (P - mat.shape[0], mat.shape[1]))
+            mat = jnp.concatenate([mat, pad], axis=0)
+        self.parents_mat = mat
+        self._parent_paths = paths
 
     def _load_theta_cached(self, path: str):
         """Podium elite .pth files are re-read every generation in file terms
@@ -282,8 +296,11 @@ class ESMaster:
         rows = [
             calc_sensitivity(self.task, self.parents_mat[i], jnp.asarray(idx_row),
                              self.mutation, self._underflow)
-            for i in range(self.parents_mat.shape[0])
+            for i in range(self._n_parents)
         ]
+        # pad to the (static) parent-matrix row count; padded rows unused
+        while len(rows) < self.parents_mat.shape[0]:
+            rows.append(rows[0])
         self._sens_mat = jnp.stack(rows)
 
     def _profile_hook(self, iteration: int):
@@ -345,7 +362,7 @@ class ESMaster:
                     pidx = np.zeros(L, np.int32)
                 else:
                     self._update_sensitivities(idx_row)
-                    pidx = self._select_parent_indices(L, self.parents_mat.shape[0])
+                    pidx = self._select_parent_indices(L, self._n_parents)
                 artifacts = self.engine.eval_generation(
                     self.parents_mat, self._sens_mat, sigma, seeds, pidx,
                     idx_row, fresh=fresh,
@@ -388,8 +405,10 @@ class ESMaster:
                 rows = (
                     [jnp.asarray(np.stack(elite_rows))] if elite_rows else []
                 ) + [selected]
-                self.parents_mat = jnp.concatenate(rows, axis=0)
-                self._parent_paths = elite_paths + [None] * selected.shape[0]
+                self._set_parents(
+                    jnp.concatenate(rows, axis=0),
+                    elite_paths + [None] * selected.shape[0],
+                )
 
                 if it.patience_reached() or it.schedule_reached():
                     self._sampler = None
@@ -426,7 +445,7 @@ class ESMaster:
         parents = []
         spec = self.task.spec
         keep_files = []
-        for i in range(self.parents_mat.shape[0]):
+        for i in range(self._n_parents):
             path = self._parent_paths[i]
             if path is None:
                 path = self._parent_path_tpl.format(i=i)

@@ -167,3 +167,34 @@ def test_coco_sensitivity_smoke(coco_fixture, tmp_path):
     sens = np.asarray(master._sens)
     assert sens.shape == (master.engine.dim,)
     assert sens.min() >= 1.0 and np.isfinite(sens).all()
+
+
+def test_coco_es_from_single_list(coco_fixture, tmp_path):
+    """ES warm start from a LIST of .pth files (reference init_from_singles,
+    nic_es/iteration.py:63-81): each file becomes a parent and the first
+    num_elite_cands become elite candidates."""
+    import jax
+    import jax.numpy as jnp
+    from nes_img_captioning_tpu.algorithms.es import ESMaster
+
+    exp0 = _coco_exp(coco_fixture, str(tmp_path / "seed"), algorithm="nic_es")
+    m0 = ESMaster(exp0)
+    paths = []
+    for i in range(2):
+        p = str(tmp_path / f"warm{i}.pth")
+        m0.task.spec.save_pth(
+            np.asarray(m0.task.generate_theta(jax.random.PRNGKey(i))), p
+        )
+        paths.append(p)
+
+    exp = _coco_exp(coco_fixture, str(tmp_path / "run"), algorithm="nic_es")
+    exp["from_single"] = paths
+    master = ESMaster(exp)
+    assert master._n_parents == 2
+    # padded to population_size rows for static shapes
+    assert master.parents_mat.shape[0] == exp["population_size"]
+    np.testing.assert_array_equal(
+        np.asarray(master.parents_mat[0]), m0.task.spec.load_pth(paths[0])
+    )
+    master.run_master(max_iterations=2)
+    assert len(master.stats.score_stats()[1]) == 2

@@ -26,6 +26,14 @@ table from the training ground-truths (df counts the number of *images* whose
 reference set contains the n-gram; ref_len = log(#images)). ``corpus`` mode
 (df computed over the refs being scored) matches pycocoevalcap's behavior for
 validation scoring.
+
+Scale note: the reference's frozen table bakes in its own ref_len constant,
+so absolute CIDEr-D *fitness* values here differ from the reference's by an
+(approximately) constant idf scale. This is benign for training equivalence:
+NIC-NES uses centered RANKS of the fitnesses (invariant under monotone
+transforms) and NIC-ES selects by SORTING them — the evolution trajectory
+statistics are unaffected. Validation/test CIDEr (corpus mode) follows the
+pycocoevalcap convention and is directly comparable.
 """
 
 from __future__ import annotations

@@ -27,20 +27,24 @@ class PopulationEngine:
 
     def _chunks(self, n: int) -> tuple[int, int]:
         """(n_waves, chunk) for an n-member sweep: chunk defaults to the full
-        population, is at least one member per device, and must divide n
-        (grown until it does — XLA pads uneven shards)."""
+        population, targets at least one member per device, and must divide n
+        (grown until it does — XLA pads uneven shards). Populations smaller
+        than the mesh run as a single (padded-shard) wave."""
         chunk = self.pop_chunk or n
         chunk = min(chunk, n)
-        chunk = max(chunk, pop_axis_size(self.mesh))
+        chunk = min(max(chunk, pop_axis_size(self.mesh)), n)
         while n % chunk:
             chunk += 1
         return n // chunk, chunk
 
     def _lay_out(self, arr: np.ndarray, n_chunks: int, chunk: int):
         """(N, ...) host array -> (n_chunks, chunk, ...) device array with
-        the chunk axis sharded over the mesh."""
+        the chunk axis sharded over the mesh (replicated when the chunk does
+        not divide the mesh — tiny populations don't benefit from sharding
+        and device_put rejects uneven shards)."""
         arr = np.asarray(arr).reshape(n_chunks, chunk, *arr.shape[1:])
-        if self.mesh is None or pop_axis_size(self.mesh) == 1:
+        ndev = pop_axis_size(self.mesh)
+        if self.mesh is None or ndev == 1 or chunk % ndev:
             return jnp.asarray(arr)
         spec = [None] * arr.ndim
         spec[1] = "pop"

@@ -198,3 +198,16 @@ def test_coco_es_from_single_list(coco_fixture, tmp_path):
     )
     master.run_master(max_iterations=2)
     assert len(master.stats.score_stats()[1]) == 2
+
+
+def test_population_smaller_than_mesh(coco_fixture, tmp_path):
+    """nb_offspring < mesh size must not hang (engine chunk sizing caps at
+    the population; shards pad)."""
+    from nes_img_captioning_tpu.algorithms.es import ESMaster
+
+    exp = _coco_exp(coco_fixture, str(tmp_path / "run"), algorithm="nic_es",
+                    nb_offspring=4, population_size=2)
+    exp["tpu"] = {"seed": 0, "mesh_shape": [8]}
+    master = ESMaster(exp)
+    master.run_master(max_iterations=2)
+    assert len(master.stats.score_stats()[1]) == 2

@@ -31,7 +31,7 @@ import numpy as np
 
 POP = 288          # nb_offspring (144 antithetic pairs)
 BATCH = 128
-N_TIMED = 5
+N_TIMED = 10
 TARGET_PER_CHIP = 1000.0 / 8.0  # BASELINE.json: >=1000 evals/s on v5e-8
 
 
@@ -122,12 +122,16 @@ def main():
     theta, opt_state = generation(theta, opt_state)
     log(f"warmup took {time.time() - t0:.1f}s")
 
-    t0 = time.time()
+    times = []
     for _ in range(N_TIMED):
+        t0 = time.time()
         theta, opt_state = generation(theta, opt_state)
-    dt = (time.time() - t0) / N_TIMED
+        times.append(time.time() - t0)
+    # median: robust to tunnel/host hiccups on individual generations
+    dt = float(np.median(times))
     evals_per_sec = POP / dt
-    log(f"{dt * 1e3:.1f} ms/generation -> {evals_per_sec:.1f} evals/s "
+    log(f"per-gen ms: {[round(t * 1e3) for t in times]}")
+    log(f"median {dt * 1e3:.1f} ms/generation -> {evals_per_sec:.1f} evals/s "
         f"on {n_chips} chip(s)")
 
     baseline = TARGET_PER_CHIP * n_chips

@@ -1,0 +1,84 @@
+"""Engine equivalence tests: the two NES update paths must agree, and the
+quadratic SM-G-ABS sensitivity trains end to end."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def _mnist_task():
+    from nes_img_captioning_tpu.tasks.classification import MnistTask
+    from nes_img_captioning_tpu.utils.config import Config, TpuConfig
+
+    return MnistTask({"policy_options": {}, "synthetic_sizes": [64, 32]},
+                     Config(batch_size=16), TpuConfig(seed=0))
+
+
+def test_update_with_deltas_matches_regeneration():
+    """The deltas carried from the eval sweep and the seed-replay
+    regeneration must produce the identical theta update."""
+    from nes_img_captioning_tpu.algorithms.nes import NESEngine
+    from nes_img_captioning_tpu.algorithms.optimizers import Adam
+    from nes_img_captioning_tpu.ops.mutation import MutationKind
+
+    task = _mnist_task()
+    eng = NESEngine(task, Adam(0.01), MutationKind.DEFAULT, pop_chunk=4)
+    theta = task.generate_theta(jax.random.PRNGKey(0))
+    sens = jnp.ones((eng.dim,), jnp.float32)
+    rng = np.random.default_rng(0)
+    F = 8
+    seeds = rng.integers(0, 2**32, size=F, dtype=np.uint32)
+    idx = rng.integers(0, 64, size=(F, 16)).astype(np.int32)
+
+    artifacts, deltas = eng.eval_generation(theta, sens, 0.05, seeds, idx)
+    assert deltas is not None
+    fit = np.asarray(task.host_fitness(artifacts, idx))
+
+    st = eng.optimizer.init(eng.dim)
+    st_a, theta_a, ratio_a = eng.update(theta, st, sens, 0.05, seeds, fit,
+                                        0.01, 1e-3, deltas=deltas)
+    st_b, theta_b, ratio_b = eng.update(theta, st, sens, 0.05, seeds, fit,
+                                        0.01, 1e-3, deltas=None)
+    # identical math, different accumulation order (einsum vs chunked map)
+    np.testing.assert_allclose(np.asarray(theta_a), np.asarray(theta_b),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(ratio_a), float(ratio_b), rtol=1e-5)
+
+
+def test_delta_bytes_limit_falls_back():
+    """Populations whose delta matrix exceeds the HBM budget fall back to
+    seed-replay (deltas handle is None)."""
+    from nes_img_captioning_tpu.algorithms.nes import NESEngine
+    from nes_img_captioning_tpu.algorithms.optimizers import Adam
+    from nes_img_captioning_tpu.ops.mutation import MutationKind
+
+    task = _mnist_task()
+    eng = NESEngine(task, Adam(0.01), MutationKind.DEFAULT, pop_chunk=4)
+    eng.DELTA_BYTES_LIMIT = 1  # force the fallback
+    rng = np.random.default_rng(0)
+    seeds = rng.integers(0, 2**32, size=4, dtype=np.uint32)
+    idx = rng.integers(0, 64, size=(4, 8)).astype(np.int32)
+    theta = task.generate_theta(jax.random.PRNGKey(0))
+    sens = jnp.ones((eng.dim,), jnp.float32)
+    _, deltas = eng.eval_generation(theta, sens, 0.05, seeds, idx)
+    assert deltas is None
+
+
+def test_sm_g_abs_end_to_end(tmp_path):
+    """SM-G-ABS (per-sample Jacobian) trains a NES generation."""
+    from nes_img_captioning_tpu.algorithms.nes import NESMaster
+    from nes_img_captioning_tpu.utils.config import load_experiment
+
+    exp = load_experiment("experiments/mnist_nes.json")
+    exp["log_dir"] = str(tmp_path / "run")
+    exp["nb_offspring"] = 4
+    exp["config"]["batch_size"] = 8
+    exp["synthetic_sizes"] = [32, 16]
+    exp["policy_options"]["model_options"]["safe_mutations"] = "SM-G-ABS"
+    exp["tpu"] = {"seed": 0}
+    master = NESMaster(exp)
+    master.run_master(max_iterations=1)
+    sens = np.asarray(master._sens)
+    assert sens.min() >= 1.0 and np.isfinite(sens).all()
+    assert sens.max() > 1.0

@@ -46,8 +46,10 @@ def _sum_sens(forward, theta, idx):
 @partial(jax.jit, static_argnums=(0,))
 def _abs_sens(forward, theta, idx):
     def sample_jac(carry, i):
-        # single-sample forward: (1, K) -> (K,); jacrev -> (K, dim)
-        J_i = jax.jacrev(lambda th: forward(th, idx[i : i + 1])[0])(theta)
+        # single-sample forward: (1, K) -> (K,); jacrev -> (K, dim).
+        # idx[i][None] (gather + new axis) — a [i:i+1] slice would need a
+        # static start under the scan tracer
+        J_i = jax.jacrev(lambda th: forward(th, idx[i][None])[0])(theta)
         return carry + jnp.abs(J_i), None
 
     B = idx.shape[0]

@@ -1,10 +1,17 @@
-"""Podium: the E best individuals seen so far, persisted as .pth files.
+"""Hall of fame for the E best individuals ever evaluated.
 
-Semantics match the reference (src/algorithm/tools/podium.py): candidates are
-(path, score) pairs; merging with the incumbents keeps the top E by score; a
-generation is "good" iff a new file entered the podium. Files are copied into
-``<best_dir>/best_elite/0_{i}_elite.pth`` (the reference layout, so resumes
-and offline eval interoperate).
+Behavioral spec (reference: src/algorithm/tools/podium.py — reimplemented,
+not transcribed):
+
+* the scoreboard holds ``num_elites`` (path, score) slots, seeded empty;
+* merging this generation's candidates keeps the top E by score, with
+  incumbents winning ties (so a tie never counts as an improvement);
+* every slot's file lives at ``<dir>/best_elite/0_{rank}_elite.pth`` — the
+  on-disk layout resumes and offline eval expect — and the directory is
+  pruned down to exactly the live slots;
+* the patience counter upstream is fed by whether any *new* file landed on
+  the scoreboard since it last asked (``is_bad_generation`` reads and rearms
+  the flag).
 """
 
 from __future__ import annotations
@@ -18,55 +25,84 @@ logger = logging.getLogger(__name__)
 
 __all__ = ["Podium"]
 
+_EMPTY_SLOT = ("", float("-inf"))
+
 
 class Podium:
+    SLOT_NAME = "0_{rank}_elite.pth"
+
     def __init__(self, patience, directory: str, num_elites: int):
-        self._best_elites: list[tuple[str, float]] = [
-            ("", float("-inf")) for _ in range(num_elites)
-        ]
-        self._num_elites = num_elites
-        self._patience = patience
-        self._best_elite_dir = os.path.join(directory, "best_elite")
-        self._new_best_elite_path = os.path.join(
-            self._best_elite_dir, "0_{i}_elite.pth"
-        )
-        mkdir_p(self._best_elite_dir)
-        self._bad_generation = True
+        # ``patience`` is accepted for call-site parity but the annealing
+        # decision lives in Iteration; the podium only reports improvement
+        del patience
+        self._capacity = num_elites
+        self._slots: list[tuple[str, float]] = [_EMPTY_SLOT] * num_elites
+        self._dir = mkdir_p(os.path.join(directory, "best_elite"))
+        # rearmed by is_bad_generation(); set whenever a candidate file is
+        # actually copied onto the scoreboard
+        self._entered_since_check = False
+
+    def _slot_path(self, rank: int) -> str:
+        return os.path.join(self._dir, self.SLOT_NAME.format(rank=rank))
 
     def init_from_infos(self, infos: dict):
-        self._best_elites = []
-        for i, (elite_path, sc) in enumerate(infos["best_elites"]):
-            new_path = self._new_best_elite_path.format(i=i)
-            copy_file_from_to(elite_path, new_path)
-            self._best_elites.append((new_path, sc))
+        """Resume: re-home every checkpointed elite file into this run's
+        slot layout (scores carry over verbatim)."""
+        restored = []
+        for rank, (src, score) in enumerate(infos["best_elites"]):
+            dst = self._slot_path(rank)
+            copy_file_from_to(src, dst)
+            restored.append((dst, score))
+        self._slots = restored
 
     def record_elites(self, elites_and_scores):
-        all_cands = self._best_elites + list(elites_and_scores)
-        sorted_cands = sorted(all_cands, key=lambda c: c[1], reverse=True)
-        best_cands = sorted_cands[: self._num_elites]
+        """Merge candidates into the scoreboard. Stable sort with incumbents
+        listed first = ties keep the incumbent."""
+        ranking = sorted(
+            list(self._slots) + list(elites_and_scores),
+            key=lambda entry: entry[1], reverse=True,
+        )
 
-        new_best, new_names = [], []
-        for i, (elite, sc) in enumerate(best_cands):
-            if elite:
-                new_path = self._new_best_elite_path.format(i=i)
-                new_best.append((new_path, sc))
-                new_names.append(new_path)
-                if elite != new_path:
-                    try:
-                        copy_file_from_to(elite, new_path)
-                        self._bad_generation = False
-                    except OSError:
-                        logger.error("[Podium]: tried to copy non existing elite")
-        self._best_elites = new_best
-        remove_all_files_but(self._best_elite_dir, new_names)
+        # Two phases: stage every moving file under a temp name, then rename
+        # into the slots. Deliberate deviation from the reference, which
+        # copies directly into slot files in rank order and therefore feeds a
+        # demoted incumbent the NEW rank-0 file's bytes (slot content
+        # corruption on every rank shift).
+        survivors: list[tuple[str, float]] = []
+        staged: list[tuple[str, str]] = []
+        for src, score in ranking[: self._capacity]:
+            if not src:
+                continue  # unfilled seed slot
+            dst = self._slot_path(len(survivors))
+            if src != dst:
+                tmp = dst + ".staging"
+                try:
+                    copy_file_from_to(src, tmp)
+                    staged.append((tmp, dst))
+                    self._entered_since_check = True
+                except OSError:
+                    # candidate file vanished between eval and merge — keep
+                    # the scoreboard entry (matches reference semantics) but
+                    # it does not count as an improvement
+                    logger.error(
+                        "podium: candidate file %s disappeared before it "
+                        "could be archived", src,
+                    )
+            survivors.append((dst, score))
+        for tmp, dst in staged:
+            os.replace(tmp, dst)
+
+        self._slots = survivors
+        remove_all_files_but(self._dir, [p for p, _ in survivors])
 
     def is_bad_generation(self) -> bool:
-        """Consume-and-reset: True iff no candidate entered the podium since
-        the last call (feeds the patience counter)."""
-        status = self._bad_generation
-        logger.info("BAD GENERATION" if status else "GOOD GENERATION")
-        self._bad_generation = True
-        return status
+        """True iff nothing new landed on the scoreboard since the last
+        call. Reading rearms the flag (one answer per generation)."""
+        improved = self._entered_since_check
+        self._entered_since_check = False
+        logger.info("podium %s this generation",
+                    "improved" if improved else "unchanged")
+        return not improved
 
-    def best_elites(self):
-        return self._best_elites
+    def best_elites(self) -> list[tuple[str, float]]:
+        return self._slots

@@ -1,10 +1,10 @@
-"""Running per-generation statistics with the reference's exact checkpoint
-schema (reference: src/algorithm/tools/statistics.py) so z_info JSONs are
-interchangeable: score_stats (min/mean/max series), score_stds, time_stats,
-acc_stats, norm_stats, noise_std_stats, bs_stats, mem_stats,
-update_ratio_stats, time_elapsed, best_acc_so_far_stats.
+"""Per-generation metric series with the reference's exact checkpoint
+schema, stat-table labels, and plot filenames (those three are public
+surface — z_info JSONs, log parsers, and plot consumers interoperate).
+Bodies are original: one declarative registry drives the checkpoint
+round-trip, recording, and plotting.
 
-Plotting writes the same per-series PDF files (loss_plot.pdf etc.).
+Reference counterpart: src/algorithm/tools/statistics.py (schema only).
 """
 
 from __future__ import annotations
@@ -18,65 +18,57 @@ from ..utils.logger import log
 
 __all__ = ["Statistics"]
 
+# registry: attribute -> (z_info key, plot filename stem, plot title)
+_SERIES = {
+    "time_stats": ("time_stats", "time", "Time per gen"),
+    "acc_stats": ("acc_stats", "acc", "Elite score"),
+    "best_acc_so_far_stats": (
+        "best_acc_so_far_stats", "best_acc", "Best elite score"),
+    "norm_stats": ("norm_stats", "norm", "Norm of params"),
+    "std_stats": ("noise_std_stats", "noise_std", "Noise stdev"),
+    "bs_stats": ("bs_stats", "batch_size", "Batch size"),
+    "score_stds": ("score_stds", "reward_std", "Score stdev"),
+    "update_ratio_stats": (
+        "update_ratio_stats", "update_ratio", "Update ratio"),
+}
+
 
 class Statistics:
     def __init__(self):
-        self._score_stats = [[], [], []]  # min, mean, max
-        self._score_stds = []
-        self._time_stats = []
-        self._acc_stats = []
-        self._norm_stats = []
-        self._std_stats = []
-        self._bs_stats = []
-        self._mem_stats = [[], [], []]  # master max RSS, virtmem %, worker sum
-        self._best_acc_so_far_stats = []
-        self._update_ratio_stats = []
+        for attr in _SERIES:
+            setattr(self, "_" + attr, [])
+        self._score_stats = [[], [], []]       # [min, mean, max] per gen
+        self._mem_stats = [[], [], []]         # [master RSS, virtmem %, worker RSS]
 
         self._step_tstart = 0.0
-        self._tstart = time.time()
         self._time_elapsed = 0.0
 
     # ---- checkpoint round-trip ------------------------------------------------
 
-    def init_from_infos(self, infos: dict):
-        self._score_stats = infos.get("score_stats", self._score_stats)
-        self._score_stds = infos.get("score_stds", self._score_stds)
-        self._time_stats = infos.get("time_stats", self._time_stats)
-        self._acc_stats = infos.get("acc_stats", self._acc_stats)
-        self._norm_stats = infos.get("norm_stats", self._norm_stats)
-        self._std_stats = infos.get("noise_std_stats", self._std_stats)
-        self._bs_stats = infos.get("bs_stats", self._bs_stats)
-        self._mem_stats = infos.get("mem_stats", self._mem_stats)
-        self._update_ratio_stats = infos.get(
-            "update_ratio_stats", self._update_ratio_stats
-        )
-        self._time_elapsed = infos.get("time_elapsed", self._time_elapsed)
-        self._best_acc_so_far_stats = infos.get(
-            "best_acc_so_far_stats", self._best_acc_so_far_stats
-        )
-
     def to_dict(self) -> dict:
-        return {
-            "score_stats": self._score_stats,
-            "score_stds": self._score_stds,
-            "time_stats": self._time_stats,
-            "acc_stats": self._acc_stats,
-            "norm_stats": self._norm_stats,
-            "noise_std_stats": self._std_stats,
-            "bs_stats": self._bs_stats,
-            "mem_stats": self._mem_stats,
-            "update_ratio_stats": self._update_ratio_stats,
-            "time_elapsed": self._time_elapsed,
-            "best_acc_so_far_stats": self._best_acc_so_far_stats,
-        }
+        out = {key: getattr(self, "_" + attr)
+               for attr, (key, _, _) in _SERIES.items()}
+        out["score_stats"] = self._score_stats
+        out["mem_stats"] = self._mem_stats
+        out["time_elapsed"] = self._time_elapsed
+        return out
+
+    def init_from_infos(self, infos: dict):
+        for attr, (key, _, _) in _SERIES.items():
+            if key in infos:
+                setattr(self, "_" + attr, infos[key])
+        self._score_stats = infos.get("score_stats", self._score_stats)
+        self._mem_stats = infos.get("mem_stats", self._mem_stats)
+        self._time_elapsed = infos.get("time_elapsed", self._time_elapsed)
 
     # ---- recording --------------------------------------------------------------
 
     def record_score_stats(self, scores: np.ndarray):
         scores = np.asarray(scores)
-        self._score_stats[0].append(float(scores.min()))
-        self._score_stats[1].append(float(scores.mean()))
-        self._score_stats[2].append(float(scores.max()))
+        for series, value in zip(
+            self._score_stats, (scores.min(), scores.mean(), scores.max())
+        ):
+            series.append(float(value))
         self._score_stds.append(float(scores.std()))
 
     def record_acc_stats(self, value):
@@ -86,10 +78,9 @@ class Statistics:
         self._best_acc_so_far_stats.append(float(value))
 
     def record_norm_stats(self, param_vector):
-        """Mean |theta| — reference calls this "norm"
-        (statistics.py:143-145)."""
+        # mean |theta| — what the reference schema calls the param "norm"
         v = np.asarray(param_vector)
-        self._norm_stats.append(float(np.abs(v).sum() / v.size))
+        self._norm_stats.append(float(np.abs(v).mean()))
 
     def record_std_stats(self, value):
         self._std_stats.append(float(value))
@@ -103,12 +94,12 @@ class Statistics:
     def update_mem_stats(self):
         import psutil
 
-        proc_rss = psutil.Process().memory_info().rss
-        self._mem_stats[0].append(proc_rss)
+        rss = psutil.Process().memory_info().rss
+        self._mem_stats[0].append(rss)
         self._mem_stats[1].append(psutil.virtual_memory().percent)
-        # single-process SPMD: there is no worker fleet; mirror master RSS so
-        # the schema (and plots) stay parseable by reference tooling
-        self._mem_stats[2].append(proc_rss)
+        # no worker fleet exists in the SPMD design; the worker slot mirrors
+        # the single process so reference tooling can still parse the triple
+        self._mem_stats[2].append(rss)
 
     def set_step_tstart(self):
         self._step_tstart = time.time()
@@ -121,60 +112,62 @@ class Statistics:
     # ---- output -------------------------------------------------------------------
 
     def log_stats(self):
+        """Stat table for this generation (label set = reference surface)."""
         logging.info("---------------- STATS ----------------")
-        log("RewMax", self._score_stats[2][-1])
-        log("RewMean", self._score_stats[1][-1])
-        log("RewMin", self._score_stats[0][-1])
-        log("RewStd", self._score_stds[-1])
-        log("EliteAcc", self._acc_stats[-1])
-        log("BestEliteAcc", self._best_acc_so_far_stats[-1])
-        log("NormMean", self._norm_stats[-1])
-        if self._update_ratio_stats:
-            log("UpdateRatio", self._update_ratio_stats[-1])
+        rows = [
+            ("RewMax", self._score_stats[2]),
+            ("RewMean", self._score_stats[1]),
+            ("RewMin", self._score_stats[0]),
+            ("RewStd", self._score_stds),
+            ("EliteAcc", self._acc_stats),
+            ("BestEliteAcc", self._best_acc_so_far_stats),
+            ("NormMean", self._norm_stats),
+            ("UpdateRatio", self._update_ratio_stats),
+        ]
+        for label, series in rows:
+            if series:
+                log(label, series[-1])
         log("TimeElapsedThisIter", time.time() - self._step_tstart)
         log("TimeElapsed", self._time_elapsed)
         if self._mem_stats[1]:
             log("MemUsage", self._mem_stats[1][-1])
 
     def plot_stats(self, log_dir: str):
+        """One PDF per series (reference filenames), plus the banded
+        training-score plot as loss_plot.pdf."""
         import matplotlib
 
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
 
-        series = {
-            "time": (self._time_stats, "Time per gen"),
-            "norm": (self._norm_stats, "Norm of params"),
-            "acc": (self._acc_stats, "Elite score"),
-            "best_acc": (self._best_acc_so_far_stats, "Best elite score"),
-            "master_mem": (self._mem_stats[0], "Master mem usage"),
-            "worker_mem": (self._mem_stats[2], "Worker mem usage"),
-            "virtmem": (self._mem_stats[1], "Virt mem usage"),
-            "batch_size": (self._bs_stats, "Batch size"),
-            "noise_std": (self._std_stats, "Noise stdev"),
-            "reward_std": (self._score_stds, "Score stdev"),
-        }
-        if self._update_ratio_stats:
-            series["update_ratio"] = (self._update_ratio_stats, "Update ratio")
+        def save_line_plot(filename_stem, title, *curves, band=None):
+            fig, ax = plt.subplots()
+            if band is not None:
+                lo, hi = band
+                ax.fill_between(np.arange(len(lo)), lo, hi,
+                                facecolor="blue", alpha=0.3)
+            for curve in curves:
+                ax.plot(np.arange(len(curve)), curve, color="blue")
+            ax.set_title(title)
+            fig.savefig(f"{log_dir}/{filename_stem}_plot.pdf", format="pdf")
+            plt.close(fig)
 
         if self._score_stats[1]:
-            fig = plt.figure()
-            x = np.arange(len(self._score_stats[1]))
-            plt.fill_between(
-                x=x, y1=self._score_stats[0], y2=self._score_stats[2],
-                facecolor="blue", alpha=0.3,
+            save_line_plot(
+                "loss", "Training score", self._score_stats[1],
+                band=(self._score_stats[0], self._score_stats[2]),
             )
-            plt.plot(x, self._score_stats[1], color="blue")
-            plt.title("Training score")
-            plt.savefig(log_dir + "/loss_plot.pdf", format="pdf")
-            plt.close(fig)
-
-        for name, (lst, label) in series.items():
-            fig = plt.figure()
-            plt.plot(np.arange(len(lst)), lst)
-            plt.title(label)
-            plt.savefig(log_dir + "/{}_plot.pdf".format(name), format="pdf")
-            plt.close(fig)
+        for attr, (_, stem, title) in _SERIES.items():
+            series = getattr(self, "_" + attr)
+            if attr == "update_ratio_stats" and not series:
+                continue  # NES-only series; skip the empty plot for ES
+            save_line_plot(stem, title, series)
+        for slot, (stem, title) in enumerate([
+            ("master_mem", "Master mem usage"),
+            ("virtmem", "Virt mem usage"),
+            ("worker_mem", "Worker mem usage"),
+        ]):
+            save_line_plot(stem, title, self._mem_stats[slot])
 
     # ---- accessors --------------------------------------------------------------
 

@@ -5,18 +5,25 @@ Both engines evaluate a population of individuals built on the fly from
 chunk axis sharded over the mesh's ``pop`` axis so every lax.map wave runs on
 all chips, with n_chunks sequential waves bounding live memory to
 chunk x dim (SURVEY.md §7.2 step 4).
+
+Shape policy: the chunk is always a mesh multiple and the population is
+padded up to n_chunks * chunk by repeating the final member (valid inputs,
+redundant compute); results are sliced back to the true count, and gradient
+weights for pad lanes are zeroed by the callers. This keeps wave count ~
+ceil(N / pop_chunk) for every N — the round-1 divisor-growth scheme
+degenerated to a single full-population wave whenever N was prime-ish,
+defeating the memory bound pop_chunk exists for.
 """
 
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 import numpy as np
-from jax.sharding import NamedSharding, PartitionSpec as P
 
-from ..parallel.mesh import pop_axis_size
+from ..parallel.mesh import pop_axis_size, shard_population
 
 __all__ = ["PopulationEngine"]
+
 
 class PopulationEngine:
     def __init__(self, task, mesh=None, pop_chunk: int = 0):
@@ -25,32 +32,31 @@ class PopulationEngine:
         self.pop_chunk = pop_chunk
         self.dim = task.spec.num_params
 
-    def _chunks(self, n: int) -> tuple[int, int]:
-        """(n_waves, chunk) for an n-member sweep: chunk defaults to the full
-        population, targets at least one member per device, and must divide n
-        (grown until it does — XLA pads uneven shards). Populations smaller
-        than the mesh run as a single (padded-shard) wave."""
+    def _plan(self, n: int) -> tuple[int, int]:
+        """(n_waves, chunk) for an n-member sweep. The chunk defaults to the
+        full population, is capped at n, and is rounded UP to a mesh multiple
+        so every wave shards evenly (pads, never drops)."""
+        ndev = pop_axis_size(self.mesh)
         chunk = self.pop_chunk or n
-        chunk = min(chunk, n)
-        chunk = min(max(chunk, pop_axis_size(self.mesh)), n)
-        while n % chunk:
-            chunk += 1
-        return n // chunk, chunk
+        chunk = max(min(chunk, n), 1)
+        chunk = -(-chunk // ndev) * ndev
+        return -(-n // chunk), chunk
+
+    # former name, kept for API continuity with round-1 tests
+    _chunks = _plan
 
     def _lay_out(self, arr: np.ndarray, n_chunks: int, chunk: int):
-        """(N, ...) host array -> (n_chunks, chunk, ...) device array with
-        the chunk axis sharded over the mesh (replicated when the chunk does
-        not divide the mesh — tiny populations don't benefit from sharding
-        and device_put rejects uneven shards)."""
-        arr = np.asarray(arr).reshape(n_chunks, chunk, *arr.shape[1:])
-        ndev = pop_axis_size(self.mesh)
-        if self.mesh is None or ndev == 1 or chunk % ndev:
-            return jnp.asarray(arr)
-        spec = [None] * arr.ndim
-        spec[1] = "pop"
-        return jax.device_put(arr, NamedSharding(self.mesh, P(*spec)))
+        """(N, ...) host array -> (n_chunks, chunk, ...) device array,
+        padded by repeating the last member and sharded over the mesh."""
+        arr = np.asarray(arr)
+        pad = n_chunks * chunk - arr.shape[0]
+        if pad:
+            arr = np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)])
+        arr = arr.reshape(n_chunks, chunk, *arr.shape[1:])
+        return shard_population(self.mesh, arr, axis=1)
 
     def _unchunk(self, out, n: int):
+        """Flatten (n_chunks, chunk, ...) leaves and drop the pad lanes."""
         return jax.tree_util.tree_map(
-            lambda o: o.reshape(n, *o.shape[2:]), out
+            lambda o: o.reshape(-1, *o.shape[2:])[:n], out
         )

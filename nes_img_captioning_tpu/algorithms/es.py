@@ -108,7 +108,7 @@ class ESEngine(PopulationEngine):
                         fresh: bool = False):
         """seeds (L,), pidx (L,), idx_row (B,) -> artifacts leaves (L, ...)."""
         L = seeds.shape[0]
-        n_chunks, chunk = self._chunks(L)
+        n_chunks, chunk = self._plan(L)
         seeds_d = self._lay_out(seeds.astype(np.uint32), n_chunks, chunk)
         if fresh:
             out = self._fresh_eval_jit(seeds_d, jnp.asarray(idx_row, jnp.int32))

@@ -40,7 +40,7 @@ from .snapshot import save_snapshot
 from .statistics import Statistics
 from ..ops.mutation import MutationKind, gaussian_noise, shape_noise
 from ..ops.ranks import compute_centered_ranks
-from ..parallel.mesh import make_mesh, pop_axis_size
+from ..parallel.mesh import make_mesh
 from ..utils.config import parse_config, parse_tpu_config
 from ..utils.files import mkdir_p, remove_all_files_from_dir
 
@@ -104,12 +104,22 @@ class NESEngine(PopulationEngine):
         globalg = -(grad / fitness_count) + l2coeff * theta
         return self.optimizer.step(opt_state, theta, globalg, stepsize)
 
+    @staticmethod
+    def _pair_weights(fitnesses, lanes_shape):
+        """Per-pair gradient weights from the (F, 2) pos/neg fitnesses,
+        zero-padded to the (n_chunks, chunk) lane layout (pad lanes repeat a
+        real seed, so their weight must be 0)."""
+        ranked = compute_centered_ranks(fitnesses)
+        w = ranked[:, 0] - ranked[:, 1]
+        n_lanes = lanes_shape[0] * lanes_shape[1]
+        w = jnp.pad(w, (0, n_lanes - w.shape[0]))
+        return w.reshape(lanes_shape)
+
     def _update_fn(self, theta, opt_state, sens, sigma, seeds, fitnesses,
                    stepsize, l2coeff):
         """Regenerate deltas from seeds and aggregate the rank-weighted
         gradient. fitnesses: (F, 2) pos/neg."""
-        ranked = compute_centered_ranks(fitnesses)
-        weights = (ranked[:, 0] - ranked[:, 1]).reshape(seeds.shape)
+        weights = self._pair_weights(fitnesses, seeds.shape)
 
         def chunk_grad(xs):
             w_c, seeds_c = xs
@@ -126,8 +136,7 @@ class NESEngine(PopulationEngine):
                                stepsize, l2coeff):
         """Fast path: deltas (n, c, dim) carried over from the eval sweep —
         the gradient is a single einsum instead of a full noise regeneration."""
-        ranked = compute_centered_ranks(fitnesses)
-        weights = (ranked[:, 0] - ranked[:, 1]).reshape(deltas.shape[:2])
+        weights = self._pair_weights(fitnesses, deltas.shape[:2])
         grad = jnp.einsum(
             "nc,ncd->d", weights, deltas, preferred_element_type=jnp.float32
         )
@@ -142,8 +151,8 @@ class NESEngine(PopulationEngine):
         device-resident deltas handle or None). Pass the handle back to
         ``update`` to skip the noise regeneration."""
         F = seeds.shape[0]
-        n_chunks, chunk = self._chunks(F)
-        with_deltas = F * self.dim * 4 <= self.DELTA_BYTES_LIMIT
+        n_chunks, chunk = self._plan(F)
+        with_deltas = n_chunks * chunk * self.dim * 4 <= self.DELTA_BYTES_LIMIT
         seeds_d = self._lay_out(seeds.astype(np.uint32), n_chunks, chunk)
         idx_d = self._lay_out(idx.astype(np.int32), n_chunks, chunk)
         out, deltas = self._eval_jit(
@@ -162,7 +171,7 @@ class NESEngine(PopulationEngine):
                 jnp.float32(stepsize), jnp.float32(l2coeff),
             )
         F = seeds.shape[0]
-        n_chunks, chunk = self._chunks(F)
+        n_chunks, chunk = self._plan(F)
         seeds_d = self._lay_out(seeds.astype(np.uint32), n_chunks, chunk)
         return self._update_jit(
             theta, opt_state, sens, jnp.float32(sigma),
@@ -288,9 +297,17 @@ class NESMaster:
     # ---- per-generation pieces ------------------------------------------------------
 
     def _pair_count(self) -> int:
-        F = self.exp["nb_offspring"] // 2
-        ndev = pop_axis_size(self.mesh)
-        return max((F // ndev) * ndev, ndev)  # mesh-divisible
+        """Exactly nb_offspring/2 antithetic pairs — the engine pads sweeps
+        to mesh multiples internally, so no offspring are dropped (the
+        reference evaluates exactly nb_offspring results,
+        nic_nes_master.py:92-118)."""
+        nb = self.exp["nb_offspring"]
+        if nb % 2:
+            logger.warning(
+                "nb_offspring=%d is odd; evaluating %d (antithetic pairs)",
+                nb, nb - 1,
+            )
+        return max(nb // 2, 1)
 
     def _draw_batches(self, F: int, bs: int) -> np.ndarray:
         from ..data.core import EpochSampler

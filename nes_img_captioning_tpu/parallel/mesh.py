@@ -9,9 +9,10 @@ evaluates its shard of the population; the gradient reduction is XLA's psum
 over the pop axis. Only int32 seeds/indices and scalar fitnesses cross the
 host boundary.
 
-Memory control is orthogonal: ``chunked_vmap`` evaluates the population in
-``chunk``-sized waves via ``lax.map`` (each wave still spans the whole mesh),
-bounding the live theta+activation footprint to chunk × dim per pass.
+Memory control is orthogonal and lives in the engines: they sweep the
+population in ``pop_chunk``-sized lax.map waves of a mesh-sharded vmap
+(algorithms/engine_base.py), bounding the live theta+activation footprint to
+chunk × dim per wave.
 """
 
 from __future__ import annotations
@@ -20,7 +21,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "shard_population", "chunked_vmap", "pop_axis_size"]
+__all__ = ["make_mesh", "shard_population", "pop_axis_size"]
 
 POP_AXIS = "pop"
 
@@ -46,25 +47,3 @@ def shard_population(mesh: Mesh | None, arr, axis: int = 0):
     return jax.device_put(arr, NamedSharding(mesh, P(*spec)))
 
 
-def replicate(mesh: Mesh | None, arr):
-    if mesh is None or pop_axis_size(mesh) == 1:
-        return jax.numpy.asarray(arr)
-    return jax.device_put(arr, NamedSharding(mesh, P()))
-
-
-def chunked_vmap(fn, chunk: int, *args):
-    """vmap(fn) over the leading axis, evaluated ``chunk`` rows at a time.
-
-    ``chunk == 0`` (or >= F) → plain vmap. Otherwise the leading axis is
-    reshaped to (F//chunk, chunk) and swept with ``lax.map`` — sequential
-    waves of a parallel (and mesh-sharded) chunk. F must divide by chunk.
-    """
-    F = args[0].shape[0]
-    if not chunk or chunk >= F:
-        return jax.vmap(fn)(*args)
-    assert F % chunk == 0, f"population {F} not divisible by pop_chunk {chunk}"
-    reshaped = tuple(a.reshape(F // chunk, chunk, *a.shape[1:]) for a in args)
-    out = jax.lax.map(lambda xs: jax.vmap(fn)(*xs), reshaped)
-    return jax.tree_util.tree_map(
-        lambda o: o.reshape(F, *o.shape[2:]), out
-    )

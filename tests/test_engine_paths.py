@@ -82,3 +82,60 @@ def test_sm_g_abs_end_to_end(tmp_path):
     sens = np.asarray(master._sens)
     assert sens.min() >= 1.0 and np.isfinite(sens).all()
     assert sens.max() > 1.0
+
+
+def test_plan_prime_population_keeps_wave_bound():
+    """Prime-ish populations must NOT degenerate to one full-population wave
+    (the round-1 divisor-growth bug): the chunk rounds up to a mesh multiple
+    and the tail wave is padded instead."""
+    from nes_img_captioning_tpu.algorithms.nes import NESEngine
+    from nes_img_captioning_tpu.algorithms.optimizers import Adam
+    from nes_img_captioning_tpu.ops.mutation import MutationKind
+    from nes_img_captioning_tpu.parallel.mesh import make_mesh
+
+    task = _mnist_task()
+    mesh = make_mesh()  # 8 virtual CPU devices (conftest)
+    eng = NESEngine(task, Adam(0.01), MutationKind.DEFAULT, mesh=mesh,
+                    pop_chunk=48)
+    n_chunks, chunk = eng._plan(997)
+    assert chunk == 48 and n_chunks == 21  # ~F/pop_chunk waves, not 1
+    # tiny population still shards: chunk is a mesh multiple
+    n_chunks, chunk = eng._plan(3)
+    assert chunk == 8 and n_chunks == 1
+
+
+def test_padded_mesh_sweep_matches_unpadded():
+    """A population that doesn't divide the mesh (F=7 on 8 devices) is
+    padded with zero-weight lanes; fitnesses and the updated theta must be
+    identical to the unpadded single-device evaluation."""
+    from nes_img_captioning_tpu.algorithms.nes import NESEngine
+    from nes_img_captioning_tpu.algorithms.optimizers import Adam
+    from nes_img_captioning_tpu.ops.mutation import MutationKind
+    from nes_img_captioning_tpu.parallel.mesh import make_mesh
+
+    task = _mnist_task()
+    theta = task.generate_theta(jax.random.PRNGKey(0))
+    sens = jnp.ones((task.spec.num_params,), jnp.float32)
+    rng = np.random.default_rng(1)
+    F = 7
+    seeds = rng.integers(0, 2**32, size=F, dtype=np.uint32)
+    idx = rng.integers(0, 64, size=(F, 16)).astype(np.int32)
+
+    results = {}
+    for name, mesh, chunk in [
+        ("padded", make_mesh(), 3),   # chunk rounds up to 8, 1 pad lane
+        ("plain", None, 0),           # single wave, no padding
+    ]:
+        eng = NESEngine(task, Adam(0.01), MutationKind.DEFAULT,
+                        mesh=mesh, pop_chunk=chunk)
+        artifacts, deltas = eng.eval_generation(theta, sens, 0.05, seeds, idx)
+        fit = np.asarray(task.host_fitness(artifacts, idx))
+        st = eng.optimizer.init(eng.dim)
+        _, new_theta, _ = eng.update(theta, st, sens, 0.05, seeds, fit,
+                                     0.01, 1e-3, deltas=deltas)
+        results[name] = (fit, np.asarray(new_theta))
+
+    np.testing.assert_allclose(results["padded"][0], results["plain"][0],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(results["padded"][1], results["plain"][1],
+                               rtol=1e-5, atol=1e-6)

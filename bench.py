@@ -104,11 +104,23 @@ def main():
     sens = jax.numpy.ones((engine.dim,), jax.numpy.float32)
     opt_state = engine.optimizer.init(engine.dim)
     sampler = EpochSampler(task.train_n, seed=0)
-    _ = task.train_scorer  # build/fit the native scorer outside the loop
+    if task._device_cider is None:
+        _ = task.train_scorer  # build/fit the native scorer outside the loop
+    log(f"fitness scoring: {'on-device' if task._device_cider else 'host'}")
+
+    fused_gen = task.fitness_on_device
+    log(f"generation path: {'fused single-dispatch' if fused_gen else 'two-phase'}")
 
     def generation(theta, opt_state):
         seeds = rng.integers(0, 2**32, size=F, dtype=np.uint32)
         idx = sampler.member_batches(F, BATCH)
+        if fused_gen:
+            # one dispatch; the fitness pull is the generation's single sync
+            theta, opt_state, fitnesses, _ = engine.generation(
+                theta, opt_state, sens, 0.01, seeds, idx, 0.001, 1e-7,
+            )
+            assert np.isfinite(fitnesses).all()
+            return theta, opt_state
         artifacts, deltas = engine.eval_generation(theta, sens, 0.01, seeds, idx)
         fitnesses = task.host_fitness(artifacts, idx)
         opt_state, theta, ratio = engine.update(

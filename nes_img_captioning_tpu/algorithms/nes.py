@@ -143,7 +143,75 @@ class NESEngine(PopulationEngine):
         return self._apply_grad(theta, opt_state, grad, fitnesses.size,
                                 stepsize, l2coeff)
 
+    @staticmethod
+    def _fitness_of(art):
+        """Scalar fitness from a rollout's return (tasks that score on
+        device return either the scalar itself or {'fitness': scalar})."""
+        return art["fitness"] if isinstance(art, dict) else art
+
+    def _generation_fn(self, theta, opt_state, sens, sigma, seeds, idx,
+                       stepsize, l2coeff, n_pairs, with_deltas):
+        """One whole NES generation as a single program: perturb + rollout +
+        on-device fitness for every antithetic pair, centered-rank weights,
+        rank-weighted gradient, optimizer step. Only the (F, 2) fitness
+        matrix and the update ratio leave the device — one host sync per
+        generation (each sync costs a ~30 ms RTT on the tunnel this harness
+        runs through, which dwarfs the payload)."""
+
+        def pair(seed, idx_i):
+            delta = self._delta(theta, sens, sigma, seed)
+            base = jax.random.key(seed)
+            pos = self._fitness_of(self.task.rollout(
+                theta + delta, idx_i, key=jax.random.fold_in(base, 1)))
+            neg = self._fitness_of(self.task.rollout(
+                theta - delta, idx_i, key=jax.random.fold_in(base, 2)))
+            return jnp.stack([pos, neg]), (delta if with_deltas else 0)
+
+        fits, deltas = jax.lax.map(
+            lambda xs: jax.vmap(pair)(*xs), (seeds, idx)
+        )  # fits (n, c, 2)
+        fitnesses = fits.reshape(-1, 2)[:n_pairs]
+
+        weights = self._pair_weights(fitnesses, seeds.shape)
+        if with_deltas:
+            grad = jnp.einsum("nc,ncd->d", weights, deltas,
+                              preferred_element_type=jnp.float32)
+        else:
+            def chunk_grad(xs):
+                w_c, seeds_c = xs
+                d = jax.vmap(lambda s: self._delta(theta, sens, sigma, s))(seeds_c)
+                return jnp.einsum("f,fd->d", w_c, d,
+                                  preferred_element_type=jnp.float32)
+
+            grad = jax.lax.map(chunk_grad, (weights, seeds)).sum(0)
+        opt_state, theta, ratio = self._apply_grad(
+            theta, opt_state, grad, fitnesses.size, stepsize, l2coeff
+        )
+        return theta, opt_state, fitnesses, ratio
+
     # ---- host entry points ----------------------------------------------------------
+
+    def generation(self, theta, opt_state, sens, sigma, seeds: np.ndarray,
+                   idx: np.ndarray, stepsize: float, l2coeff: float):
+        """Fused path for tasks whose fitness is computed on device
+        (task.fitness_on_device): returns (theta, opt_state,
+        fitnesses (F, 2) np.ndarray, ratio)."""
+        F = seeds.shape[0]
+        n_chunks, chunk = self._plan(F)
+        with_deltas = n_chunks * chunk * self.dim * 4 <= self.DELTA_BYTES_LIMIT
+        seeds_d = self._lay_out(seeds.astype(np.uint32), n_chunks, chunk)
+        idx_d = self._lay_out(idx.astype(np.int32), n_chunks, chunk)
+        if not hasattr(self, "_generation_jit"):
+            self._generation_jit = jax.jit(
+                self._generation_fn,
+                static_argnames=("n_pairs", "with_deltas"),
+            )
+        theta, opt_state, fits, ratio = self._generation_jit(
+            theta, opt_state, sens, jnp.float32(sigma), seeds_d, idx_d,
+            jnp.float32(stepsize), jnp.float32(l2coeff),
+            n_pairs=F, with_deltas=with_deltas,
+        )
+        return theta, opt_state, np.asarray(fits), float(ratio)
 
     def eval_generation(self, theta, sens, sigma, seeds: np.ndarray,
                         idx: np.ndarray):
@@ -375,10 +443,19 @@ class NESMaster:
                 idx = self._draw_batches(F, bs)
                 sens = self._maybe_sensitivity(idx[0])
 
-                artifacts, deltas = self.engine.eval_generation(
-                    self.theta, sens, sigma, seeds, idx
-                )
-                fitnesses = self.task.host_fitness(artifacts, idx)  # (F, 2)
+                fused = self.task.fitness_on_device
+                if fused:
+                    # whole generation in one dispatch, one host sync
+                    (new_theta, new_opt_state, fitnesses, ratio
+                     ) = self.engine.generation(
+                        self.theta, self.opt_state, sens, sigma, seeds, idx,
+                        self.optimizer.stepsize, self.config.l2coeff or 0.0,
+                    )
+                else:
+                    artifacts, deltas = self.engine.eval_generation(
+                        self.theta, sens, sigma, seeds, idx
+                    )
+                    fitnesses = self.task.host_fitness(artifacts, idx)  # (F, 2)
 
                 # one validation eval per generation on the pre-update model
                 # (the reference blocks until >=1 eval result per generation,
@@ -398,11 +475,14 @@ class NESMaster:
                 it.record_eval_result(0, self._current_path, eval_score)
                 it.process_evaluated_elites()
 
-                self.opt_state, self.theta, ratio = self.engine.update(
-                    self.theta, self.opt_state, sens, sigma, seeds, fitnesses,
-                    self.optimizer.stepsize, config.l2coeff or 0.0,
-                    deltas=deltas,
-                )
+                if fused:
+                    self.theta, self.opt_state = new_theta, new_opt_state
+                else:
+                    self.opt_state, self.theta, ratio = self.engine.update(
+                        self.theta, self.opt_state, sens, sigma, seeds,
+                        fitnesses, self.optimizer.stepsize,
+                        config.l2coeff or 0.0, deltas=deltas,
+                    )
                 self.experiment.opt_state = self.opt_state
                 self._model_written = False
 

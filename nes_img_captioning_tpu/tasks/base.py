@@ -29,6 +29,13 @@ class Task(abc.ABC):
     model = None
 
     @property
+    def fitness_on_device(self) -> bool:
+        """True when rollout() already returns the scalar fitness (directly
+        or as {'fitness': scalar}) — enables the engines' fused
+        one-dispatch-per-generation path."""
+        return self.artifact_is_fitness
+
+    @property
     def spec(self):
         return self.model.spec
 

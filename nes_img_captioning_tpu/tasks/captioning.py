@@ -96,6 +96,29 @@ class CocoTask(Task):
             jnp.int16 if self.data.vocab_size < 32767 else jnp.int32
         )
 
+        # on-chip CIDEr-D fitness (ops/cider_device.py): eliminates the
+        # per-generation token transfer + host scoring — only the (F, 2)
+        # fitness scalars cross the host boundary (BASELINE.md constraint).
+        # Per-token criteria variants keep the host path (they consume the
+        # full logprob tensor anyway).
+        want_dc = getattr(tpu_cfg, "device_cider", "auto")
+        can_dc = (
+            self.fitness_kind in ("greedy", "sample", "self_critical")
+            and self.data.vocab_size + 1 < (1 << 14)
+        )
+        use_dc = can_dc if want_dc == "auto" else (bool(want_dc) and can_dc)
+        self._device_cider = None
+        if use_dc:
+            from ..ops.cider_device import DeviceCider
+
+            logger.info("building on-device CIDEr-D scorer "
+                        "(%d train images)", len(self.train_gts))
+            self._device_cider = DeviceCider(self.train_gts, variant="cider-d")
+
+    @property
+    def fitness_on_device(self) -> bool:
+        return self._device_cider is not None
+
     # ---- scorers -----------------------------------------------------------------
 
     @property
@@ -182,6 +205,8 @@ class CocoTask(Task):
             if key is None:
                 key = jax.random.key(0)
             seq, lp = self._sampled(theta, feats, key)
+        if self._device_cider is not None:
+            return {"fitness": self._device_fitness(theta, feats, idx, seq)}
         # int16 tokens when the vocab allows: the device->host hop can run
         # over a slow tunnel (~25 MB/s measured here), so halving the payload
         # is ~47 ms per generation at bench scale
@@ -193,6 +218,21 @@ class CocoTask(Task):
                 self._wire_dtype
             )
         return art
+
+    def _device_fitness(self, theta, feats, idx, seq):
+        """On-chip fitness for the greedy/sample/self_critical kinds: scores
+        every decoded row with the device CIDEr-D scorer, mean * 100 per
+        member (self_critical subtracts the greedy-baseline score per image,
+        reference: captioning/policies.py:164-184)."""
+        B = idx.shape[0]
+        spi = seq.shape[0] // B
+        img = idx if spi == 1 else jnp.repeat(idx, spi)
+        scores = self._device_cider.score_rows(seq.astype(jnp.int32), img)
+        if self.fitness_kind in SELF_CRITICAL_KINDS:
+            base_seq = self._greedy(theta, feats)[0]
+            base = self._device_cider.score_rows(base_seq.astype(jnp.int32), idx)
+            scores = scores - jnp.repeat(base, spi)
+        return scores.mean() * 100.0
 
     # ---- host fitness ---------------------------------------------------------------
 
@@ -224,7 +264,10 @@ class CocoTask(Task):
 
     def host_fitness(self, artifacts, idx):
         """All members scored in ONE native-scorer call (the per-generation
-        host hot path — SURVEY.md §7.3), then reduced per member."""
+        host hot path — SURVEY.md §7.3), then reduced per member. With the
+        on-device scorer active the fitness already exists: just pull it."""
+        if "fitness" in artifacts:
+            return np.asarray(artifacts["fitness"], np.float32)
         seq = np.asarray(artifacts["seq"])
         lead = seq.shape[:-2]
         n_members = int(np.prod(lead))

@@ -58,6 +58,7 @@ class TpuConfig:
     profile: bool = False  # jax.profiler trace of generation 2 into log_dir
     fused_decode: object = "auto"  # Pallas greedy decode: "auto" | True | False
     val_freq: int = 1  # validate every k generations (1 = reference parity)
+    device_cider: object = "auto"  # on-chip CIDEr-D fitness: "auto" | True | False
 
 
 def _strip_disabled(d: dict) -> dict:

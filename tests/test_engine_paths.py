@@ -139,3 +139,37 @@ def test_padded_mesh_sweep_matches_unpadded():
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(results["padded"][1], results["plain"][1],
                                rtol=1e-5, atol=1e-6)
+
+
+def test_fused_generation_matches_two_phase():
+    """engine.generation (one dispatch) must produce the same fitnesses and
+    updated theta as eval_generation + host_fitness + update."""
+    from nes_img_captioning_tpu.algorithms.nes import NESEngine
+    from nes_img_captioning_tpu.algorithms.optimizers import Adam
+    from nes_img_captioning_tpu.ops.mutation import MutationKind
+
+    task = _mnist_task()
+    theta = task.generate_theta(jax.random.PRNGKey(0))
+    sens = jnp.ones((task.spec.num_params,), jnp.float32)
+    rng = np.random.default_rng(2)
+    F = 6
+    seeds = rng.integers(0, 2**32, size=F, dtype=np.uint32)
+    idx = rng.integers(0, 64, size=(F, 16)).astype(np.int32)
+
+    eng_a = NESEngine(task, Adam(0.01), MutationKind.DEFAULT, pop_chunk=4)
+    th_a, st_a, fit_a, ratio_a = eng_a.generation(
+        theta, eng_a.optimizer.init(eng_a.dim), sens, 0.05, seeds, idx,
+        0.01, 1e-3,
+    )
+
+    eng_b = NESEngine(task, Adam(0.01), MutationKind.DEFAULT, pop_chunk=4)
+    st0 = eng_b.optimizer.init(eng_b.dim)
+    artifacts, deltas = eng_b.eval_generation(theta, sens, 0.05, seeds, idx)
+    fit_b = np.asarray(task.host_fitness(artifacts, idx))
+    st_b, th_b, ratio_b = eng_b.update(theta, st0, sens, 0.05, seeds, fit_b,
+                                       0.01, 1e-3, deltas=deltas)
+
+    np.testing.assert_allclose(fit_a, fit_b, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(th_a), np.asarray(th_b),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(ratio_a), float(ratio_b), rtol=1e-5)

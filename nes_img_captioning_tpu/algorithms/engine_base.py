@@ -46,13 +46,18 @@ class PopulationEngine:
     _chunks = _plan
 
     def _lay_out(self, arr: np.ndarray, n_chunks: int, chunk: int):
-        """(N, ...) host array -> (n_chunks, chunk, ...) device array,
-        padded by repeating the last member and sharded over the mesh."""
+        """(N, ...) host array -> (n_chunks, chunk, ...) padded by repeating
+        the last member. Sharded over the mesh when one exists; without a
+        mesh the HOST array is returned as-is — the jit dispatch transfers
+        it asynchronously, where an explicit device_put is a synchronous
+        round trip (~30 ms RTT on this harness's tunnel)."""
         arr = np.asarray(arr)
         pad = n_chunks * chunk - arr.shape[0]
         if pad:
             arr = np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)])
         arr = arr.reshape(n_chunks, chunk, *arr.shape[1:])
+        if self.mesh is None or pop_axis_size(self.mesh) == 1:
+            return arr
         return shard_population(self.mesh, arr, axis=1)
 
     def _unchunk(self, out, n: int):

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import logging
 import os
-from functools import partial
+import time
 
 import jax
 import jax.numpy as jnp
@@ -150,13 +150,16 @@ class NESEngine(PopulationEngine):
         return art["fitness"] if isinstance(art, dict) else art
 
     def _generation_fn(self, theta, opt_state, sens, sigma, seeds, idx,
-                       stepsize, l2coeff, n_pairs, with_deltas):
+                       stepsize, l2coeff, n_pairs):
         """One whole NES generation as a single program: perturb + rollout +
         on-device fitness for every antithetic pair, centered-rank weights,
-        rank-weighted gradient, optimizer step. Only the (F, 2) fitness
-        matrix and the update ratio leave the device — one host sync per
-        generation (each sync costs a ~30 ms RTT on the tunnel this harness
-        runs through, which dwarfs the payload)."""
+        rank-weighted gradient, optimizer step. The gradient phase
+        REGENERATES the noise from the seeds instead of carrying the (F, dim)
+        delta matrix across the lax.map (the stacked carry forced ~3.3 GB of
+        HBM traffic, ~70 ms/generation measured; regeneration costs ~3 ms).
+        Fitnesses + ratio are packed into one small vector so callers pay a
+        single host sync (each sync costs a ~30 ms RTT on the tunnel this
+        harness runs through, which dwarfs any payload)."""
 
         def pair(seed, idx_i):
             delta = self._delta(theta, sens, sigma, seed)
@@ -165,53 +168,114 @@ class NESEngine(PopulationEngine):
                 theta + delta, idx_i, key=jax.random.fold_in(base, 1)))
             neg = self._fitness_of(self.task.rollout(
                 theta - delta, idx_i, key=jax.random.fold_in(base, 2)))
-            return jnp.stack([pos, neg]), (delta if with_deltas else 0)
+            return jnp.stack([pos, neg])
 
-        fits, deltas = jax.lax.map(
+        fits = jax.lax.map(
             lambda xs: jax.vmap(pair)(*xs), (seeds, idx)
-        )  # fits (n, c, 2)
+        )  # (n, c, 2)
         fitnesses = fits.reshape(-1, 2)[:n_pairs]
 
         weights = self._pair_weights(fitnesses, seeds.shape)
-        if with_deltas:
-            grad = jnp.einsum("nc,ncd->d", weights, deltas,
-                              preferred_element_type=jnp.float32)
-        else:
-            def chunk_grad(xs):
-                w_c, seeds_c = xs
-                d = jax.vmap(lambda s: self._delta(theta, sens, sigma, s))(seeds_c)
-                return jnp.einsum("f,fd->d", w_c, d,
-                                  preferred_element_type=jnp.float32)
 
-            grad = jax.lax.map(chunk_grad, (weights, seeds)).sum(0)
+        def chunk_grad(xs):
+            w_c, seeds_c = xs
+            d = jax.vmap(lambda s: self._delta(theta, sens, sigma, s))(seeds_c)
+            return jnp.einsum("f,fd->d", w_c, d,
+                              preferred_element_type=jnp.float32)
+
+        grad = jax.lax.map(chunk_grad, (weights, seeds)).sum(0)
         opt_state, theta, ratio = self._apply_grad(
             theta, opt_state, grad, fitnesses.size, stepsize, l2coeff
         )
-        return theta, opt_state, fitnesses, ratio
+        # mean |theta| rides along so the master's NormMean stat needs no
+        # 11.6 MB theta pull per generation
+        norm = jnp.abs(theta).mean()
+        packed = jnp.concatenate(
+            [fitnesses.reshape(-1), ratio.reshape(1), norm.reshape(1)]
+        )
+        return theta, opt_state, packed
+
+    def _generation_block_fn(self, theta, opt_state, sens, sigma, seeds, idx,
+                             stepsize, l2coeff, n_pairs):
+        """K chained generations in one program (seeds (K, n, c),
+        idx (K, n, c, B)) — identical math to K sequential generation()
+        dispatches; exists because one dispatch costs ~100 ms through this
+        harness's tunnel, dwarfing the ~20 ms device compute."""
+
+        def step(carry, xs):
+            th, st = carry
+            th, st, packed = self._generation_fn(
+                th, st, sens, sigma, xs[0], xs[1], stepsize, l2coeff, n_pairs
+            )
+            return (th, st), packed
+
+        (theta, opt_state), packs = jax.lax.scan(
+            step, (theta, opt_state), (seeds, idx)
+        )
+        return theta, opt_state, packs  # (K, 2F+2)
 
     # ---- host entry points ----------------------------------------------------------
 
     def generation(self, theta, opt_state, sens, sigma, seeds: np.ndarray,
                    idx: np.ndarray, stepsize: float, l2coeff: float):
         """Fused path for tasks whose fitness is computed on device
-        (task.fitness_on_device): returns (theta, opt_state,
-        fitnesses (F, 2) np.ndarray, ratio)."""
+        (task.fitness_on_device). Returns (theta, opt_state, packed) where
+        theta/opt_state are device handles usable for the NEXT generation
+        without any host sync, and ``unpack(packed, F)`` yields
+        (fitnesses (F, 2), ratio, norm) at the cost of one sync — callers
+        may defer it to overlap the RTT with the next generation's compute."""
         F = seeds.shape[0]
         n_chunks, chunk = self._plan(F)
-        with_deltas = n_chunks * chunk * self.dim * 4 <= self.DELTA_BYTES_LIMIT
         seeds_d = self._lay_out(seeds.astype(np.uint32), n_chunks, chunk)
         idx_d = self._lay_out(idx.astype(np.int32), n_chunks, chunk)
         if not hasattr(self, "_generation_jit"):
             self._generation_jit = jax.jit(
-                self._generation_fn,
-                static_argnames=("n_pairs", "with_deltas"),
+                self._generation_fn, static_argnames=("n_pairs",),
             )
-        theta, opt_state, fits, ratio = self._generation_jit(
+        return self._generation_jit(
             theta, opt_state, sens, jnp.float32(sigma), seeds_d, idx_d,
-            jnp.float32(stepsize), jnp.float32(l2coeff),
-            n_pairs=F, with_deltas=with_deltas,
+            jnp.float32(stepsize), jnp.float32(l2coeff), n_pairs=F,
         )
-        return theta, opt_state, np.asarray(fits), float(ratio)
+
+    def generation_block(self, theta, opt_state, sens, sigma,
+                         seeds: np.ndarray, idx: np.ndarray,
+                         stepsize: float, l2coeff: float):
+        """K generations per dispatch. seeds (K, F), idx (K, F, B); returns
+        (theta, opt_state, packs (K, 2F+2) device handle)."""
+        from ..parallel.mesh import pop_axis_size, shard_population
+
+        K, F = seeds.shape
+        n_chunks, chunk = self._plan(F)
+
+        def lay(a):
+            pad = n_chunks * chunk - a.shape[1]
+            if pad:
+                a = np.concatenate(
+                    [a, np.repeat(a[:, -1:], pad, axis=1)], axis=1
+                )
+            a = a.reshape(K, n_chunks, chunk, *a.shape[2:])
+            if self.mesh is None or pop_axis_size(self.mesh) == 1:
+                return a
+            return shard_population(self.mesh, a, axis=2)
+
+        seeds_d = lay(seeds.astype(np.uint32))
+        idx_d = lay(idx.astype(np.int32))
+        if not hasattr(self, "_generation_block_jit"):
+            self._generation_block_jit = jax.jit(
+                self._generation_block_fn, static_argnames=("n_pairs",),
+            )
+        return self._generation_block_jit(
+            theta, opt_state, sens, jnp.float32(sigma), seeds_d, idx_d,
+            jnp.float32(stepsize), jnp.float32(l2coeff), n_pairs=F,
+        )
+
+    @staticmethod
+    def unpack(packed, F: int):
+        """(fitnesses (F, 2), ratio, mean|theta|) — one host sync. Accepts a
+        (2F+2,) vector or a (K, 2F+2) block (leading axis preserved)."""
+        arr = np.asarray(packed)
+        fits = arr[..., :-2].reshape(*arr.shape[:-1], F, 2)
+        return fits, arr[..., -2], arr[..., -1]
 
     def eval_generation(self, theta, sens, sigma, seeds: np.ndarray,
                         idx: np.ndarray):
@@ -424,94 +488,193 @@ class NESMaster:
 
     # ---- main loop ---------------------------------------------------------------------
 
+    @staticmethod
+    def _gap_to_next(cur_plus1: int, freq: int, start: int = 0) -> int:
+        """Iterations from cur_plus1 (exclusive of events AT cur_plus1) to
+        the next multiple-of-freq event after it."""
+        if not freq:
+            return 1 << 30
+        j = max(cur_plus1 + 1, start)
+        rem = (j - start) % freq
+        return (j + (freq - rem) % freq) - cur_plus1
+
+    def _block_budget(self, fused: bool, gens_left: int,
+                      limit: int | None) -> int:
+        """Generations chained into the next dispatch. >1 only on the fused
+        path with tpu.gens_per_dispatch set and patience disabled; a block
+        never contains an interior validation, schedule firing, or snapshot
+        (those host-side events only see block-boundary thetas), so the
+        event cadence is identical to per-generation driving."""
+        b = max(self.tpu_cfg.gens_per_dispatch, 1)
+        if not fused or b == 1:
+            return 1
+        if self.config.patience:
+            logger.warning(
+                "gens_per_dispatch>1 requires patience=0 (patience may "
+                "anneal sigma mid-block); driving per-generation")
+            return 1
+        if self.mutation in (MutationKind.SAFE_GRAD_SUM,
+                             MutationKind.SAFE_GRAD_ABS):
+            logger.warning(
+                "gens_per_dispatch>1 is incompatible with SM-G-* (the "
+                "sensitivity is recomputed from each generation's theta); "
+                "driving per-generation")
+            return 1
+        nxt = self.it.iteration() + 1  # the block's first iteration
+        if self.config.schedule_limit and self._gap_to_next(
+            nxt - 1, self.config.schedule_limit,
+            self.config.schedule_start or 0,
+        ) == 1:
+            return 1  # this iteration fires the schedule: run it alone
+        b = min(b, gens_left)
+        if limit:
+            b = min(b, limit - self.it.iteration())
+        vf = max(self.tpu_cfg.val_freq, 1)
+        if vf == 1:
+            return 1  # per-generation validation = per-generation dispatch
+        b = min(b, self._gap_to_next(nxt, vf))
+        if self.config.schedule_limit:
+            b = min(b, self._gap_to_next(
+                nxt, self.config.schedule_limit,
+                self.config.schedule_start or 0,
+            ))
+        if self.config.snapshot_freq:
+            # a snapshot writes the post-update theta of its generation:
+            # end the block exactly on the snapshot iteration
+            b = min(b, self._gap_to_next(nxt - 1, self.config.snapshot_freq))
+        return max(b, 1)
+
+    def _record_eval(self, eval_score):
+        """Eval-result + podium bookkeeping. MUST run while self.theta is
+        the pre-update model of the generation the score belongs to: the
+        podium copies the current-model file immediately, and the reference
+        pairs eval scores with the pre-update .pth (nic_nes_worker.py:92-113).
+        Within a chained block only the first generation can enter the
+        podium (a carried score ties and ties keep incumbents), so interior
+        calls never write a stale file."""
+        if self._podium_would_take(eval_score):
+            self._write_current_model()
+        self.it.record_eval_result(0, self._current_path, eval_score)
+        self.it.process_evaluated_elites()
+
+    def _record_stats(self, fitnesses, ratio, norm_vec, eval_score, dt, plot):
+        """Stats + snapshot for one completed generation. Runs AFTER the
+        update: the snapshot's current_model is the post-update theta (the
+        reference's resume point)."""
+        config, it, stats = self.config, self.it, self.stats
+        stats.record_update_ratio(float(ratio))
+        stats.record_score_stats(np.asarray(fitnesses).ravel())
+        stats.record_bs_stats(it.batch_size())
+        stats.record_step_time_stats(dt=dt)
+        stats.record_norm_stats(norm_vec)
+        stats.record_acc_stats(eval_score)
+        stats.record_best_acc_stats(it.best_elites()[0][1])
+        stats.record_std_stats(it.noise_stdev())
+        stats.update_mem_stats()
+        stats.log_stats()
+        it.log_stats()
+
+        if config.snapshot_freq and it.iteration() % config.snapshot_freq == 0:
+            self._write_current_model()  # z_info references this file
+            save_snapshot(stats, it, self.experiment)
+            if plot:
+                stats.plot_stats(self.experiment.snapshot_dir())
+
     def run_master(self, plot: bool = False, max_iterations: int | None = None):
         config, it, stats = self.config, self.it, self.stats
         limit = max_iterations or config.max_nb_iterations
         F = self._pair_count()
+        fused = self.task.fitness_on_device
+        val_freq = max(self.tpu_cfg.val_freq, 1)
 
         while not limit or it.iteration() < limit:
             it.incr_epoch()
             gens = max(self.task.train_n // it.batch_size(), 1)
-            for _ in range(gens):
+            done = 0
+            while done < gens and (not limit or it.iteration() < limit):
+                b = self._block_budget(fused, gens - done, limit)
+                done += b
                 it.incr_iteration()
                 stats.set_step_tstart()
-                logger.info("********** Iteration %d **********", it.iteration())
+                t_block = time.time()
+                logger.info("********** Iteration %d%s **********",
+                            it.iteration(),
+                            f" (+{b - 1} chained)" if b > 1 else "")
                 self._profile_hook(it.iteration())
 
                 sigma, bs = it.get_noise_stdev(), it.batch_size()
-                seeds = self._rng.integers(0, 2**32, size=F, dtype=np.uint32)
-                idx = self._draw_batches(F, bs)
-                sens = self._maybe_sensitivity(idx[0])
+                # per-generation draws in stream order, so the RNG sequence
+                # (and thus the trajectory) is identical for every block size
+                seeds = np.empty((b, F), np.uint32)
+                idx = None
+                for k in range(b):
+                    seeds[k] = self._rng.integers(0, 2**32, size=F,
+                                                  dtype=np.uint32)
+                    row = self._draw_batches(F, bs)
+                    if idx is None:
+                        idx = np.empty((b, *row.shape), row.dtype)
+                    idx[k] = row
+                sens = self._maybe_sensitivity(idx[0, 0])
 
-                fused = self.task.fitness_on_device
                 if fused:
-                    # whole generation in one dispatch, one host sync
-                    (new_theta, new_opt_state, fitnesses, ratio
-                     ) = self.engine.generation(
+                    # b generations in one dispatch, one host sync
+                    new_theta, new_opt_state, packs = self.engine.generation_block(
                         self.theta, self.opt_state, sens, sigma, seeds, idx,
-                        self.optimizer.stepsize, self.config.l2coeff or 0.0,
+                        self.optimizer.stepsize, config.l2coeff or 0.0,
                     )
                 else:
                     artifacts, deltas = self.engine.eval_generation(
-                        self.theta, sens, sigma, seeds, idx
+                        self.theta, sens, sigma, seeds[0], idx[0]
                     )
-                    fitnesses = self.task.host_fitness(artifacts, idx)  # (F, 2)
+                    fitnesses = self.task.host_fitness(artifacts, idx[0])
 
                 # one validation eval per generation on the pre-update model
                 # (the reference blocks until >=1 eval result per generation,
                 # nic_nes/iteration.py:49-50); tpu.val_freq > 1 thins this to
                 # every k generations (documented deviation, carrying the
-                # last score in between)
-                val_freq = max(self.tpu_cfg.val_freq, 1)
+                # last score in between). self.theta is still the block-start
+                # (pre-update) model here.
                 if it.iteration() % val_freq == 0 or self._last_eval is None:
                     self._last_eval = self.task.validate(self.theta)
                 eval_score = self._last_eval
-                # the model file is only needed when the score can enter the
-                # podium (record_elites would copy it) or at snapshot time —
-                # skipping the ~60 ms .pth write otherwise is behaviorally
-                # identical (a non-entering candidate is never touched)
-                if self._podium_would_take(eval_score):
-                    self._write_current_model()
-                it.record_eval_result(0, self._current_path, eval_score)
-                it.process_evaluated_elites()
 
                 if fused:
+                    # podium for the block's first generation sees the
+                    # pre-update (block-start) theta
+                    self._record_eval(eval_score)
+                    fits_all, ratios, norms = self.engine.unpack(packs, F)
+                    block_dt = time.time() - t_block
                     self.theta, self.opt_state = new_theta, new_opt_state
+                    self._model_written = False
+                    for k in range(b):
+                        if k:
+                            it.incr_iteration()
+                            logger.info("********** Iteration %d (chained) "
+                                        "**********", it.iteration())
+                            self._record_eval(eval_score)  # carried score;
+                            # ties keep incumbents, no file writes happen
+                        self._record_stats(
+                            fits_all[k], ratios[k], [norms[k]], eval_score,
+                            block_dt / b, plot,
+                        )
                 else:
+                    self._record_eval(eval_score)  # pre-update theta
                     self.opt_state, self.theta, ratio = self.engine.update(
-                        self.theta, self.opt_state, sens, sigma, seeds,
+                        self.theta, self.opt_state, sens, sigma, seeds[0],
                         fitnesses, self.optimizer.stepsize,
                         config.l2coeff or 0.0, deltas=deltas,
                     )
+                    self._model_written = False
+                    self._record_stats(
+                        fitnesses, ratio, np.asarray(self.theta), eval_score,
+                        time.time() - t_block, plot,
+                    )
                 self.experiment.opt_state = self.opt_state
-                self._model_written = False
 
                 if it.patience_reached() or it.schedule_reached():
                     if config.stepsize_divisor:
                         self.optimizer.stepsize /= config.stepsize_divisor
                     self._sampler = None  # rebuilt at the new batch size
-
-                stats.record_update_ratio(float(ratio))
-                stats.record_score_stats(np.asarray(fitnesses).ravel())
-                stats.record_bs_stats(it.batch_size())
-                stats.record_step_time_stats()
-                stats.record_norm_stats(np.asarray(self.theta))
-                stats.record_acc_stats(eval_score)
-                stats.record_best_acc_stats(it.best_elites()[0][1])
-                stats.record_std_stats(it.noise_stdev())
-                stats.update_mem_stats()
-                stats.log_stats()
-                it.log_stats()
-
-                if config.snapshot_freq and it.iteration() % config.snapshot_freq == 0:
-                    self._write_current_model()  # z_info references this file
-                    save_snapshot(stats, it, self.experiment)
-                    if plot:
-                        stats.plot_stats(self.experiment.snapshot_dir())
-
-                if limit and it.iteration() >= limit:
-                    break
-                if it.patience_reached() or it.schedule_reached():
                     break  # rebuild the epoch at the new batch size
 
         self._write_current_model()

@@ -104,8 +104,12 @@ class Statistics:
     def set_step_tstart(self):
         self._step_tstart = time.time()
 
-    def record_step_time_stats(self):
-        dt = time.time() - self._step_tstart
+    def record_step_time_stats(self, dt: float | None = None):
+        """Append this iteration's wall time (measured from set_step_tstart
+        unless an explicit dt is given — block dispatches split their wall
+        time evenly over the generations they contain)."""
+        if dt is None:
+            dt = time.time() - self._step_tstart
         self._time_elapsed += dt
         self._time_stats.append(dt)
 

@@ -59,6 +59,12 @@ class TpuConfig:
     fused_decode: object = "auto"  # Pallas greedy decode: "auto" | True | False
     val_freq: int = 1  # validate every k generations (1 = reference parity)
     device_cider: object = "auto"  # on-chip CIDEr-D fitness: "auto" | True | False
+    # generations chained per device dispatch (fused fitness path only; one
+    # dispatch costs ~100 ms through a tunneled chip, dwarfing ~20 ms of
+    # compute). >1 requires patience=0; blocks never span validation,
+    # schedule-annealing, or snapshot boundaries, so cadence semantics are
+    # unchanged. 1 = exact reference per-generation driving.
+    gens_per_dispatch: int = 1
 
 
 def _strip_disabled(d: dict) -> dict:

@@ -157,10 +157,11 @@ def test_fused_generation_matches_two_phase():
     idx = rng.integers(0, 64, size=(F, 16)).astype(np.int32)
 
     eng_a = NESEngine(task, Adam(0.01), MutationKind.DEFAULT, pop_chunk=4)
-    th_a, st_a, fit_a, ratio_a = eng_a.generation(
+    th_a, st_a, packed = eng_a.generation(
         theta, eng_a.optimizer.init(eng_a.dim), sens, 0.05, seeds, idx,
         0.01, 1e-3,
     )
+    fit_a, ratio_a, norm_a = eng_a.unpack(packed, F)
 
     eng_b = NESEngine(task, Adam(0.01), MutationKind.DEFAULT, pop_chunk=4)
     st0 = eng_b.optimizer.init(eng_b.dim)

@@ -169,3 +169,39 @@ def test_nes_on_virtual_mesh(tmp_path):
     assert master.mesh is not None
     master.run_master(max_iterations=2)
     assert len(master.stats.score_stats()[1]) == 2
+
+
+def test_gens_per_dispatch_block_matches_per_gen(tmp_path):
+    """tpu.gens_per_dispatch chains generations into one dispatch with
+    identical math and RNG stream: the final theta and every stat series
+    must match per-generation driving exactly."""
+    import numpy as np
+    from nes_img_captioning_tpu.algorithms.nes import NESMaster
+    from nes_img_captioning_tpu.utils.config import load_experiment
+
+    thetas, series = [], []
+    for b in (1, 4):
+        exp = load_experiment("experiments/mnist_nes.json")
+        exp["log_dir"] = str(tmp_path / f"run_b{b}")
+        exp["nb_offspring"] = 8
+        exp["config"].update({"batch_size": 8, "patience": 0,
+                              "snapshot_freq": 8, "_schedule_limit": 1})
+        exp["config"].pop("schedule_limit", None)
+        exp["synthetic_sizes"] = [64, 16]
+        # plain gaussian mutation: SM-G-* recomputes sensitivity from each
+        # generation's theta and therefore clamps blocks to 1
+        exp["policy_options"]["model_options"]["safe_mutations"] = ""
+        exp["tpu"] = {"seed": 7, "val_freq": 4, "gens_per_dispatch": b}
+        master = NESMaster(exp)
+        master.run_master(max_iterations=8)
+        thetas.append(np.asarray(master.theta))
+        series.append(master.stats.to_dict())
+
+    np.testing.assert_allclose(thetas[0], thetas[1], rtol=1e-5, atol=1e-6)
+    for key in ("score_stats", "update_ratio_stats", "acc_stats",
+                "norm_stats", "noise_std_stats", "best_acc_so_far_stats"):
+        np.testing.assert_allclose(
+            np.asarray(series[0][key], dtype=np.float64),
+            np.asarray(series[1][key], dtype=np.float64),
+            rtol=1e-5, atol=1e-6, err_msg=key,
+        )

@@ -53,7 +53,7 @@ def _kernel(seed_ref, feats_ref, img_w_ref, img_b_ref, i2h_w_ref, i2h_b_ref,
             gumbel_ref,
             seq_ref, lp_ref, h_ref, c_ref, tok_ref, unfin_ref, alive_ref,
             *, seq_length: int, rnn_size: int, greedy: bool,
-            host_rng: bool):
+            host_rng: bool, need_logprobs: bool):
     R = rnn_size
     f32 = jnp.float32
 
@@ -103,13 +103,19 @@ def _kernel(seed_ref, feats_ref, img_w_ref, img_b_ref, i2h_w_ref, i2h_b_ref,
         h_ref[:], c_ref[:] = h, c
 
         logits = dott(h.astype(dt), logit_w_ref[:]) + logit_b_ref[:]
-        mx = jnp.max(logits, axis=1, keepdims=True)            # (B, 1)
-        lse = mx + jnp.log(
-            jnp.sum(jnp.exp(logits - mx), axis=1, keepdims=True)
-        )
+        if need_logprobs:
+            mx = jnp.max(logits, axis=1, keepdims=True)        # (B, 1)
+            lse = mx + jnp.log(
+                jnp.sum(jnp.exp(logits - mx), axis=1, keepdims=True)
+            )
         if greedy:
             tok = jnp.argmax(logits, axis=1).astype(jnp.int32)[:, None]
-            lp_tok = (mx - lse)[:, 0]
+            # greedy fitness consumes only the tokens: the log-softmax
+            # reductions (exp+log over the whole padded vocab, every step)
+            # are skipped unless the caller asked for logprobs
+            lp_tok = (mx - lse)[:, 0] if need_logprobs else jnp.zeros(
+                (logits.shape[0],), f32
+            )
         else:
             # multinomial sampling via Gumbel-max: argmax(logits + G) with
             # G = -log(-log U) is an exact categorical sample — the
@@ -129,9 +135,13 @@ def _kernel(seed_ref, feats_ref, img_w_ref, img_b_ref, i2h_w_ref, i2h_b_ref,
                 u = u * (1.0 - 2e-7) + 1e-7  # strictly inside (0, 1)
                 gumbel = -jnp.log(-jnp.log(u))
             tok = jnp.argmax(logits + gumbel, axis=1).astype(jnp.int32)[:, None]
-            # logprob of the sampled token: logits[tok] - lse via one-hot mask
-            sel = (col == tok).astype(jnp.float32)
-            lp_tok = (jnp.sum(logits * sel, axis=1, keepdims=True) - lse)[:, 0]
+            if need_logprobs:
+                # logprob of the sampled token: logits[tok] - lse, one-hot mask
+                sel = (col == tok).astype(jnp.float32)
+                lp_tok = (jnp.sum(logits * sel, axis=1, keepdims=True)
+                          - lse)[:, 0]
+            else:
+                lp_tok = jnp.zeros((logits.shape[0],), f32)
 
         unfinished = unfin_ref[:] * (tok > 0).astype(jnp.int32)
         tok = tok * unfinished
@@ -151,11 +161,13 @@ def _kernel(seed_ref, feats_ref, img_w_ref, img_b_ref, i2h_w_ref, i2h_b_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("seq_length", "greedy", "interpret", "host_rng")
+    jax.jit, static_argnames=("seq_length", "greedy", "interpret", "host_rng",
+                              "need_logprobs")
 )
 def decode_fused(params: dict, feats, seq_length: int = 16,
                  greedy: bool = True, seed=0, interpret: bool = False,
-                 host_rng: bool = False, gumbel=None):
+                 host_rng: bool = False, gumbel=None,
+                 need_logprobs: bool = True):
     """One member's greedy or multinomial decode with VMEM-resident weights.
 
     params: dict from ``prepare_decode_params`` (vocab axis padded, biases
@@ -174,7 +186,7 @@ def decode_fused(params: dict, feats, seq_length: int = 16,
 
     kernel = functools.partial(
         _kernel, seq_length=seq_length, rnn_size=R, greedy=greedy,
-        host_rng=host_rng,
+        host_rng=host_rng, need_logprobs=need_logprobs,
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     seq_t, lp_t = pl.pallas_call(

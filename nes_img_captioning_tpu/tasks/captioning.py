@@ -156,17 +156,18 @@ class CocoTask(Task):
             self.spec, theta, self.model.options, dtype=self._decode_dtype
         )
 
-    def _greedy(self, theta, feats):
+    def _greedy(self, theta, feats, need_logprobs: bool = True):
         if self._fused:
             from ..ops.decode_pallas import decode_fused
 
             return decode_fused(
                 self._fused_params(theta), feats,
                 seq_length=self.model.options.seq_length,
+                need_logprobs=need_logprobs,
             )
         return self.model.sample(theta, feats, greedy=True)
 
-    def _sampled(self, theta, feats, key):
+    def _sampled(self, theta, feats, key, need_logprobs: bool = True):
         """seq_per_img independent multinomial samples per image, rows
         image-major like the reference's repeat(feats, 5, axis=0) layout."""
         spi = self.seq_per_img
@@ -184,6 +185,7 @@ class CocoTask(Task):
                 return decode_fused(
                     params, feats, greedy=False, seed=s.astype(jnp.int32),
                     seq_length=self.model.options.seq_length,
+                    need_logprobs=need_logprobs,
                 )
 
             seq, lp = jax.lax.map(one, seeds)  # (spi, B, T)
@@ -199,12 +201,16 @@ class CocoTask(Task):
     def rollout(self, theta, idx, key=None):
         feats = self.train_fc[idx]
         art = {}
+        # logprobs are consumed only by the per-token criteria variants —
+        # plain greedy/sample/self_critical fitness skips the per-step
+        # log-softmax reductions entirely
+        need_lp = self.fitness_kind in FITNESS_CRITERIA
         if self.fitness_kind in GREEDY_KINDS:
-            seq, lp = self._greedy(theta, feats)
+            seq, lp = self._greedy(theta, feats, need_logprobs=need_lp)
         else:
             if key is None:
                 key = jax.random.key(0)
-            seq, lp = self._sampled(theta, feats, key)
+            seq, lp = self._sampled(theta, feats, key, need_logprobs=need_lp)
         if self._device_cider is not None:
             return {"fitness": self._device_fitness(theta, feats, idx, seq)}
         # int16 tokens when the vocab allows: the device->host hop can run
@@ -229,7 +235,7 @@ class CocoTask(Task):
         img = idx if spi == 1 else jnp.repeat(idx, spi)
         scores = self._device_cider.score_rows(seq.astype(jnp.int32), img)
         if self.fitness_kind in SELF_CRITICAL_KINDS:
-            base_seq = self._greedy(theta, feats)[0]
+            base_seq = self._greedy(theta, feats, need_logprobs=False)[0]
             base = self._device_cider.score_rows(base_seq.astype(jnp.int32), idx)
             scores = scores - jnp.repeat(base, spi)
         return scores.mean() * 100.0

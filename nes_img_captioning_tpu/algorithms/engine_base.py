@@ -60,6 +60,18 @@ class PopulationEngine:
             return arr
         return shard_population(self.mesh, arr, axis=1)
 
+    def _replicated(self, x):
+        """Host array -> device array consumable by this engine's programs.
+        Multi-controller meshes require GLOBAL arrays (replicated here);
+        single-process execution keeps the plain local transfer."""
+        import jax.numpy as jnp
+
+        if self.mesh is not None and jax.process_count() > 1:
+            from ..parallel.multihost import replicate_global
+
+            return replicate_global(self.mesh, np.asarray(x))
+        return jnp.asarray(x)
+
     def _unchunk(self, out, n: int):
         """Flatten (n_chunks, chunk, ...) leaves and drop the pad lanes."""
         return jax.tree_util.tree_map(

@@ -214,6 +214,17 @@ class NESEngine(PopulationEngine):
         )
         return theta, opt_state, packs  # (K, 2F+2)
 
+
+    def _out_shardings(self):
+        """Multi-controller: pin every jit output to mesh-replicated so the
+        host can fetch the packed stats (XLA otherwise may leave outputs
+        sharded across non-addressable devices). None single-controller."""
+        if self.mesh is not None and jax.process_count() > 1:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            return NamedSharding(self.mesh, PartitionSpec())
+        return None
+
     # ---- host entry points ----------------------------------------------------------
 
     def generation(self, theta, opt_state, sens, sigma, seeds: np.ndarray,
@@ -231,10 +242,12 @@ class NESEngine(PopulationEngine):
         if not hasattr(self, "_generation_jit"):
             self._generation_jit = jax.jit(
                 self._generation_fn, static_argnames=("n_pairs",),
+                out_shardings=self._out_shardings(),
             )
+        sc = lambda v: self._replicated(np.float32(v))  # noqa: E731
         return self._generation_jit(
-            theta, opt_state, sens, jnp.float32(sigma), seeds_d, idx_d,
-            jnp.float32(stepsize), jnp.float32(l2coeff), n_pairs=F,
+            theta, opt_state, sens, sc(sigma), seeds_d, idx_d,
+            sc(stepsize), sc(l2coeff), n_pairs=F,
         )
 
     def generation_block(self, theta, opt_state, sens, sigma,
@@ -263,10 +276,12 @@ class NESEngine(PopulationEngine):
         if not hasattr(self, "_generation_block_jit"):
             self._generation_block_jit = jax.jit(
                 self._generation_block_fn, static_argnames=("n_pairs",),
+                out_shardings=self._out_shardings(),
             )
+        sc = lambda v: self._replicated(np.float32(v))  # noqa: E731
         return self._generation_block_jit(
-            theta, opt_state, sens, jnp.float32(sigma), seeds_d, idx_d,
-            jnp.float32(stepsize), jnp.float32(l2coeff), n_pairs=F,
+            theta, opt_state, sens, sc(sigma), seeds_d, idx_d,
+            sc(stepsize), sc(l2coeff), n_pairs=F,
         )
 
     @staticmethod
@@ -288,7 +303,7 @@ class NESEngine(PopulationEngine):
         seeds_d = self._lay_out(seeds.astype(np.uint32), n_chunks, chunk)
         idx_d = self._lay_out(idx.astype(np.int32), n_chunks, chunk)
         out, deltas = self._eval_jit(
-            theta, sens, jnp.float32(sigma), seeds_d, idx_d,
+            theta, sens, self._replicated(np.float32(sigma)), seeds_d, idx_d,
             with_deltas=with_deltas,
         )
         return self._unchunk(out, F), deltas
@@ -305,10 +320,11 @@ class NESEngine(PopulationEngine):
         F = seeds.shape[0]
         n_chunks, chunk = self._plan(F)
         seeds_d = self._lay_out(seeds.astype(np.uint32), n_chunks, chunk)
+        sc = lambda v: self._replicated(np.float32(v))  # noqa: E731
         return self._update_jit(
-            theta, opt_state, sens, jnp.float32(sigma),
-            seeds_d, jnp.asarray(fitnesses, jnp.float32),
-            jnp.float32(stepsize), jnp.float32(l2coeff),
+            theta, opt_state, sens, sc(sigma),
+            seeds_d, self._replicated(np.asarray(fitnesses, np.float32)),
+            sc(stepsize), sc(l2coeff),
         )
 
 
@@ -324,11 +340,24 @@ def _load_sensitivity_file(path: str) -> np.ndarray:
 
 
 def setup_log_dir(exp: dict) -> str:
-    """logs/{algo}_{dataset}_{net}_{pid} (reference: tools/setup.py:22-25)."""
-    log_dir = exp.get("log_dir") or "logs/{}_{}_{}_{}".format(
-        exp["algorithm"], exp["dataset"],
-        exp["policy_options"]["net"], os.getpid(),
-    )
+    """logs/{algo}_{dataset}_{net}_{pid} (reference: tools/setup.py:22-25).
+
+    Multi-host: non-primary processes mirror ALL bookkeeping in a private
+    scratch directory — the host-side logic (podium files, model writes,
+    snapshots) must stay bit-identical across processes or the SPMD
+    collectives desync, but only the primary may own the real artifacts on
+    the shared filesystem."""
+    from ..parallel.multihost import is_primary
+
+    if not is_primary():
+        import tempfile
+
+        log_dir = tempfile.mkdtemp(prefix="nes_replica_logdir_")
+    else:
+        log_dir = exp.get("log_dir") or "logs/{}_{}_{}_{}".format(
+            exp["algorithm"], exp["dataset"],
+            exp["policy_options"]["net"], os.getpid(),
+        )
     mkdir_p(log_dir)
     exp["log_dir"] = log_dir
     return log_dir
@@ -363,6 +392,7 @@ class NESMaster:
             self.task, self.optimizer, self.mutation,
             mesh=mesh, pop_chunk=self.tpu_cfg.pop_chunk,
         )
+        self._init_multihost_placement()
 
         self._current_dir = mkdir_p(
             os.path.join(self.it.models_dir(), "current")
@@ -376,16 +406,49 @@ class NESMaster:
         self._init_theta(exp)
         self._sampler = None  # built lazily; rebuilt on annealing
 
-        self.opt_state = self.experiment.opt_state or self.optimizer.init(
-            self.engine.dim
+        self.opt_state = self._place(
+            self.experiment.opt_state or self.optimizer.init(self.engine.dim)
         )
         self.experiment.opt_state = self.opt_state
-        self._sens = jnp.ones((self.engine.dim,), jnp.float32)
+        self._sens = self._place(jnp.ones((self.engine.dim,), jnp.float32))
         if self.mutation is MutationKind.SAFE_VECTOR:
             self.set_sensitivity_vector(
                 _load_sensitivity_file(mopts["safe_mutation_vector"]),
                 mopts.get("safe_mutation_underflow", 0.01),
             )
+
+    def _init_multihost_placement(self):
+        """Multi-controller runs need every device-resident input as a
+        GLOBAL (mesh-replicated or mesh-sharded) array; _place() converts,
+        and the task re-homes its datasets. Determinism across processes
+        comes from the shared tpu.seed: every host draws identical seed and
+        batch-index streams, so the SPMD programs see identical inputs
+        (replacing the reference's Redis batch shipping, src/dist.py)."""
+        self._multihost = jax.process_count() > 1
+        if not self._multihost:
+            return
+        assert self.mesh is not None and \
+            self.mesh.devices.size == jax.device_count(), \
+            "multi-host runs need a mesh spanning all global devices"
+        assert self.tpu_cfg.seed is not None, \
+            "multi-host runs require tpu.seed (hosts must draw identical streams)"
+        if self.mutation in (MutationKind.SAFE_GRAD_SUM,
+                             MutationKind.SAFE_GRAD_ABS):
+            raise NotImplementedError(
+                "SM-G-* sensitivities are not wired for multi-host yet"
+            )
+        self.task.place_on_mesh(self.mesh)
+
+    def _place(self, x):
+        """Local device array (single-controller) or mesh-replicated global
+        array (multi-controller)."""
+        if getattr(self, "_multihost", False):
+            from ..parallel.multihost import replicate_global
+
+            return jax.tree_util.tree_map(
+                lambda a: replicate_global(self.mesh, a), x
+            )
+        return x
 
     # ---- init modes (reference: tools/setup.py:33-44) ---------------------------
 
@@ -405,7 +468,7 @@ class NESMaster:
         else:
             key = jax.random.PRNGKey(int(self._rng.integers(0, 2**31 - 1)))
             theta = np.asarray(self.task.generate_theta(key))
-        self.theta = jnp.asarray(theta, jnp.float32)
+        self.theta = self._place(jnp.asarray(theta, jnp.float32))
         self._write_current_model()
 
     def _write_current_model(self):
@@ -471,7 +534,7 @@ class NESMaster:
         (reference: src/algorithm/safe_mutations.py:28-32)."""
         v = jnp.asarray(np.asarray(vector), jnp.float32)
         v = jnp.maximum(v, underflow)
-        self._sens = v / v.min()
+        self._sens = self._place(v / v.min())
 
     def _profile_hook(self, iteration: int):
         """Trace generation 2 with jax.profiler when tpu.profile is set

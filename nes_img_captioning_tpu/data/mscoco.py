@@ -125,6 +125,29 @@ class CocoData:
                 seed: int | None = 0) -> "CocoBatcher":
         return CocoBatcher(self, split, batch_size, seq_per_img, seed=seed)
 
+    def word_id_rows(self, seq: np.ndarray) -> np.ndarray:
+        """Token-id rows -> WORD-id rows: distinct vocabulary ids that map to
+        the same word string (e.g. an UNK token) collapse to one id, exactly
+        as pycocoevalcap's word-string scoring would merge them. Scoring
+        word-id rows with the n-gram scorers is therefore equivalent to
+        scoring PTB-tokenized decoded strings (this vocab is already
+        whitespace-tokenized words; 0 stays the sentence terminator).
+        Reference convention: src/captioning/eval_utils.py:30-57."""
+        if not hasattr(self, "_tok_to_word_id"):
+            word_ids: dict[str, int] = {}
+            table = np.zeros(self.vocab_size + 1, np.int32)
+            for t in range(1, self.vocab_size + 1):
+                w = self.ix_to_word[str(t)]
+                table[t] = word_ids.setdefault(w, len(word_ids) + 1)
+            self._tok_to_word_id = table
+        seq = np.asarray(seq)
+        return self._tok_to_word_id[np.clip(seq, 0, self.vocab_size)]
+
+    def split_gts_words(self, split: str) -> list:
+        """Per-image reference captions as word-id rows (for word-level
+        validation scoring)."""
+        return [self.word_id_rows(g) for g in self.split_gts(split)]
+
     def decode_sequence(self, seq: np.ndarray) -> list[str]:
         """Token rows -> sentences; stops at the first 0
         (reference: src/captioning/eval_utils.py:13-27)."""

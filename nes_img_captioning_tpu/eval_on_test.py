@@ -58,7 +58,12 @@ def evaluate_checkpoints(models: dict[str, str], caption_options: dict,
         for s in range(0, n, batch_size):
             seqs.append(np.asarray(decode(theta, feats[s : s + batch_size])))
         seqs = np.concatenate(seqs, axis=0)
-        stats = language_eval(seqs, gts[:n])
+        # word-level scoring: duplicate word strings collapse, matching
+        # pycocoevalcap's string convention (data.word_id_rows docstring)
+        stats = language_eval(
+            data.word_id_rows(seqs),
+            [data.word_id_rows(g) for g in gts[:n]],
+        )
         logger.info("%s: %s", name, stats)
         sents = data.decode_sequence(seqs)
         preds_per_model[name] = [

@@ -29,6 +29,17 @@ def run(argv=None):
     parser.add_argument("--plot", action="store_true", default=False)
     parser.add_argument("--max_iterations", type=int, default=None,
                         help="override config.max_nb_iterations")
+    # multi-host SPMD (replaces the reference's Redis TCP + shared-FS
+    # transport, src/dist.py:33-65): every host runs this same command with
+    # its own --process_id; requires the experiment to set tpu.seed
+    parser.add_argument("--coordinator", type=str, default=None,
+                        help="host:port of process 0 (jax.distributed)")
+    parser.add_argument("--num_processes", type=int, default=None)
+    parser.add_argument("--process_id", type=int, default=None)
+    parser.add_argument("--platform", type=str, default=None,
+                        help="force a jax platform (e.g. cpu); needed "
+                        "because a preset JAX_PLATFORMS env var wins over "
+                        "later env changes")
     # accepted for reference-script compatibility; unused in SPMD execution
     parser.add_argument("--master_socket_path", type=str, default=None)
     parser.add_argument("--master_host", type=str, default=None)
@@ -48,6 +59,16 @@ def run(argv=None):
         os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"),
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    mesh = None
+    if args.num_processes and args.num_processes > 1:
+        from .parallel.mesh import make_mesh
+        from .parallel.multihost import init_multihost
+
+        init_multihost(args.coordinator, args.num_processes, args.process_id)
+        mesh = make_mesh()  # spans all global devices
 
     if args.who == "workers":
         logging.info(
@@ -65,12 +86,12 @@ def run(argv=None):
         from .algorithms.es import ESMaster
 
         logging.info("RUNNING NIC-ES")
-        master = ESMaster(exp)
+        master = ESMaster(exp, mesh=mesh)
     elif algo == "nic_nes":
         from .algorithms.nes import NESMaster
 
         logging.info("RUNNING NIC-NES")
-        master = NESMaster(exp)
+        master = NESMaster(exp, mesh=mesh)
     else:
         raise ValueError(f"unknown algorithm {algo!r}")
 

@@ -228,6 +228,12 @@ class DeviceCider:
         self.ref_mask = jnp.asarray(ref_mask)
         self.ref_count = jnp.asarray(ref_mask.sum(axis=1).astype(np.float32))
 
+    def replicate_device_state(self, place):
+        """Re-home the scorer's device tables (multi-host global placement)."""
+        for name in ("table", "ref_lo", "ref_hi", "ref_norm", "ref_lens",
+                     "ref_mask", "ref_count"):
+            setattr(self, name, place(getattr(self, name)))
+
     # ---- device side -------------------------------------------------------------
 
     def _idf_lookup(self, lo, hi):

@@ -39,11 +39,18 @@ def pop_axis_size(mesh: Mesh | None) -> int:
 
 def shard_population(mesh: Mesh | None, arr, axis: int = 0):
     """Place ``arr`` with its population axis sharded over the mesh.
-    No-op without a mesh (single device)."""
+    No-op without a mesh (single device). Multi-controller meshes build the
+    global array from each process's slice of the (identical) host array."""
     if mesh is None or pop_axis_size(mesh) == 1:
         return jax.numpy.asarray(arr)
     spec = [None] * np.ndim(arr)
     spec[axis] = POP_AXIS
-    return jax.device_put(arr, NamedSharding(mesh, P(*spec)))
+    sharding = NamedSharding(mesh, P(*spec))
+    if jax.process_count() > 1:
+        host = np.asarray(arr)
+        return jax.make_array_from_callback(
+            host.shape, sharding, lambda idx: host[idx]
+        )
+    return jax.device_put(arr, sharding)
 
 

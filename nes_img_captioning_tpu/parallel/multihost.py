@@ -60,3 +60,21 @@ def is_primary() -> bool:
 
 def process_count() -> int:
     return jax.process_count()
+
+
+def replicate_global(mesh, x):
+    """Place a (pytree of) host array(s) as mesh-replicated GLOBAL arrays.
+    Multi-controller jits only accept global arrays; every process must pass
+    identical host data (guaranteed here by the shared tpu.seed)."""
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    sharding = NamedSharding(mesh, PartitionSpec())
+
+    def place(a):
+        host = np.asarray(a)
+        return jax.make_array_from_callback(
+            host.shape, sharding, lambda idx: host[idx]
+        )
+
+    return jax.tree_util.tree_map(place, x)

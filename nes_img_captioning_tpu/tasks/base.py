@@ -44,6 +44,22 @@ class Task(abc.ABC):
     def train_n(self) -> int:
         """Number of training items (defines generations per epoch)."""
 
+    def place_on_mesh(self, mesh):
+        """Multi-controller runs: re-home every device-resident dataset as a
+        mesh-replicated GLOBAL array (local arrays cannot feed a
+        process-spanning jit). Single-controller runs never call this."""
+        from ..parallel.multihost import replicate_global
+
+        self._replicate_device_state(
+            lambda x: replicate_global(mesh, x)
+        )
+
+    def _replicate_device_state(self, place):
+        raise NotImplementedError(
+            f"{type(self).__name__} does not define its device state for "
+            "multi-host placement"
+        )
+
     @abc.abstractmethod
     def rollout(self, theta, idx, key=None):
         """Pure fn: fitness scalar or artifacts for one individual on the

@@ -18,6 +18,7 @@ independent samples per image and decode B*5 rows, as the reference does.
 from __future__ import annotations
 
 import logging
+import os
 
 import jax
 import jax.numpy as jnp
@@ -77,6 +78,12 @@ class CocoTask(Task):
 
         self._train_scorer = None
         self._val_scorer = None
+        # predictions artifact destination (reference: the eval dir each
+        # worker derives from log_dir); absent when the task is constructed
+        # without a run (bench, unit tests)
+        self._eval_dir = (
+            os.path.join(exp["log_dir"], "eval") if exp.get("log_dir") else None
+        )
         self._val_decode = jax.jit(
             lambda theta, feats: self.model.sample(theta, feats, True)[0]
         )
@@ -119,6 +126,13 @@ class CocoTask(Task):
     def fitness_on_device(self) -> bool:
         return self._device_cider is not None
 
+    def _replicate_device_state(self, place):
+        self.train_fc = place(self.train_fc)
+        self.val_fc = place(self.val_fc)
+        self.test_fc = place(self.test_fc)
+        if self._device_cider is not None:
+            self._device_cider.replicate_device_state(place)
+
     # ---- scorers -----------------------------------------------------------------
 
     @property
@@ -136,11 +150,14 @@ class CocoTask(Task):
 
     @property
     def val_scorer(self) -> IndexedCiderScorer:
-        """Plain CIDEr with corpus DF over the val refs — the metric
-        pycocoevalcap computes for eval_split (captioning/eval_utils.py:30-57;
-        scored here on token ids, which map 1:1 to words)."""
+        """Plain CIDEr with corpus DF over the val refs, scored at the WORD
+        level (token ids remapped so duplicate word strings collapse, exactly
+        what pycocoevalcap's string scoring does) — the metric the reference
+        reports for eval_split (captioning/eval_utils.py:30-57)."""
         if self._val_scorer is None:
-            self._val_scorer = IndexedCiderScorer(self.val_gts, variant="cider")
+            self._val_scorer = IndexedCiderScorer(
+                self.data.split_gts_words("val"), variant="cider"
+            )
         return self._val_scorer
 
     @property
@@ -325,18 +342,47 @@ class CocoTask(Task):
             outs.append(np.asarray(self._val_decode(theta, feats[s:e])))
         return np.concatenate(outs, axis=0)
 
+    def _write_predictions(self, seqs: np.ndarray, split: str):
+        """Reference-shaped predictions artifact: eval_cache_{split}.json =
+        [{"image_id", "caption"}, ...] in the run's eval dir (reference:
+        src/captioning/eval_utils.py:37-46 writes exactly this before
+        handing it to COCOEvalCap)."""
+        if not self._eval_dir:
+            return
+        import json
+
+        from ..utils.files import mkdir_p
+
+        ids = self.data.split_image_ids(split)
+        preds = [
+            {"image_id": ids[i], "caption": cap}
+            for i, cap in enumerate(self.data.decode_sequence(seqs))
+        ]
+        path = os.path.join(mkdir_p(self._eval_dir),
+                            f"eval_cache_{split}.json")
+        with open(path, "w") as f:
+            json.dump(preds, f)
+
     def validate(self, theta) -> float:
         bs = self.config.val_batch_size or self.config.batch_size or 64
         num = self.config.num_val_items or -1
         seqs = self._decode_split(theta, self.val_fc, num, bs)
-        mean, _ = self.val_scorer.score(seqs, np.arange(len(seqs)))
+        self._write_predictions(seqs, "val")
+        mean, _ = self.val_scorer.score(
+            self.data.word_id_rows(seqs), np.arange(len(seqs))
+        )
         return float(mean)
 
     def test_score(self, theta) -> float:
         bs = self.config.val_batch_size or self.config.batch_size or 64
         seqs = self._decode_split(theta, self.test_fc, -1, bs)
-        scorer = IndexedCiderScorer(self.test_gts, variant="cider")
-        mean, _ = scorer.score(seqs, np.arange(len(seqs)))
+        self._write_predictions(seqs, "test")
+        scorer = IndexedCiderScorer(
+            self.data.split_gts_words("test"), variant="cider"
+        )
+        mean, _ = scorer.score(
+            self.data.word_id_rows(seqs), np.arange(len(seqs))
+        )
         return float(mean)
 
     # ---- sensitivity ---------------------------------------------------------------

@@ -46,6 +46,10 @@ class MnistTask(Task):
     def train_n(self) -> int:
         return self.train.n
 
+    def _replicate_device_state(self, place):
+        for ds in (self.train, self.val, self.test):
+            ds.arrays = {k: place(v) for k, v in ds.arrays.items()}
+
     # ---- fitness ---------------------------------------------------------------
 
     def rollout(self, theta, idx, key=None):

@@ -287,21 +287,21 @@ class ESMaster:
 
     def _update_sensitivities(self, idx_row):
         """Per-parent sensitivity matrix for SM-G-* (the reference caches
-        sens per (task, parent) across workers — here one computation per
-        parent per generation, SURVEY.md §7.3)."""
+        sens per (task, parent) across workers — here one fused sweep per
+        generation, SURVEY.md §7.3). The whole padded parent matrix goes
+        through one jitted lax.map: shape-stable (no recompiles as the
+        podium fills) and one program launch instead of P — the per-parent
+        dispatch loop cost ~100 ms of launch overhead per parent on this
+        harness. Pad rows duplicate real parents, so the wasted compute is
+        at most num_elites/P of the sweep."""
         if self.mutation not in (MutationKind.SAFE_GRAD_SUM, MutationKind.SAFE_GRAD_ABS):
             return
-        from ..ops.sensitivity import calc_sensitivity
+        from ..ops.sensitivity import calc_sensitivities
 
-        rows = [
-            calc_sensitivity(self.task, self.parents_mat[i], jnp.asarray(idx_row),
-                             self.mutation, self._underflow)
-            for i in range(self._n_parents)
-        ]
-        # pad to the (static) parent-matrix row count; padded rows unused
-        while len(rows) < self.parents_mat.shape[0]:
-            rows.append(rows[0])
-        self._sens_mat = jnp.stack(rows)
+        self._sens_mat = calc_sensitivities(
+            self.task, self.parents_mat, jnp.asarray(idx_row),
+            self.mutation, self._underflow,
+        )
 
     def _profile_hook(self, iteration: int):
         """Trace generation 2 with jax.profiler when tpu.profile is set

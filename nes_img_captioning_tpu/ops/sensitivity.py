@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from .mutation import MutationKind
 
-__all__ = ["calc_sensitivity", "sm_g_sum", "sm_g_abs"]
+__all__ = ["calc_sensitivity", "calc_sensitivities", "sm_g_sum", "sm_g_abs"]
 
 
 def _postprocess(sens: jax.Array, underflow: float) -> jax.Array:
@@ -60,6 +60,53 @@ def _abs_sens(forward, theta, idx):
     )
     J = acc / B
     return jnp.sqrt((J**2).sum(0))
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _sum_sens_many(forward, thetas, idx):
+    """SM-G-SUM for a whole (P, dim) parent matrix in ONE program: lax.map
+    runs the parents sequentially so only one (K, dim) Jacobian is live at a
+    time (~K*dim*4 bytes), while the single dispatch amortizes the ~100 ms
+    per-program-launch wall cost this harness pays — the per-parent-call
+    version spent P launches per ES generation."""
+    batch = forward(thetas[0], idx).shape[0]
+
+    def one(theta):
+        J = jax.jacrev(lambda th: forward(th, idx).sum(0))(theta)
+        return jnp.sqrt((J**2).sum(0)) / batch
+
+    return jax.lax.map(one, thetas)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _abs_sens_many(forward, thetas, idx):
+    return jax.lax.map(lambda th: _abs_sens_scan(forward, th, idx), thetas)
+
+
+def _abs_sens_scan(forward, theta, idx):
+    def sample_jac(carry, i):
+        J_i = jax.jacrev(lambda th: forward(th, idx[i][None])[0])(theta)
+        return carry + jnp.abs(J_i), None
+
+    B = idx.shape[0]
+    K = jax.eval_shape(lambda th: forward(th, idx[0:1])[0], theta).shape[0]
+    acc, _ = jax.lax.scan(
+        sample_jac, jnp.zeros((K, theta.shape[0]), jnp.float32), jnp.arange(B)
+    )
+    return jnp.sqrt(((acc / B) ** 2).sum(0))
+
+
+def calc_sensitivities(task, thetas, idx, kind: MutationKind, underflow: float):
+    """Per-parent sensitivity rows (P, dim) for a stacked parent matrix —
+    the NIC-ES per-(task, parent) cache of the reference
+    (safe_mutations.py:34-84) collapsed into one jitted sweep per
+    generation."""
+    forward = task.sensitivity_forward
+    if kind is MutationKind.SAFE_GRAD_SUM:
+        return _postprocess(_sum_sens_many(forward, thetas, idx), underflow)
+    if kind is MutationKind.SAFE_GRAD_ABS:
+        return _postprocess(_abs_sens_many(forward, thetas, idx), underflow)
+    raise ValueError(f"no gradient sensitivity for {kind}")
 
 
 def sm_g_sum(forward, theta, idx, underflow: float) -> jax.Array:

@@ -174,3 +174,31 @@ def test_fused_generation_matches_two_phase():
     np.testing.assert_allclose(np.asarray(th_a), np.asarray(th_b),
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(float(ratio_a), float(ratio_b), rtol=1e-5)
+
+
+def test_batched_sensitivities_match_per_parent():
+    """The fused per-parent sensitivity sweep (one lax.map program) must
+    reproduce the per-parent calc_sensitivity calls exactly, for both
+    gradient kinds."""
+    from nes_img_captioning_tpu.ops.mutation import MutationKind
+    from nes_img_captioning_tpu.ops.sensitivity import (
+        calc_sensitivities,
+        calc_sensitivity,
+    )
+
+    task = _mnist_task()
+    rng = np.random.default_rng(3)
+    thetas = jnp.stack(
+        [task.generate_theta(jax.random.PRNGKey(i)) for i in range(3)]
+    )
+    idx = jnp.asarray(rng.integers(0, 64, size=4).astype(np.int32))
+
+    for kind in (MutationKind.SAFE_GRAD_SUM, MutationKind.SAFE_GRAD_ABS):
+        batched = np.asarray(calc_sensitivities(task, thetas, idx, kind, 0.01))
+        assert batched.shape == (3, task.spec.num_params)
+        for i in range(3):
+            single = np.asarray(
+                calc_sensitivity(task, thetas[i], idx, kind, 0.01)
+            )
+            np.testing.assert_allclose(batched[i], single, rtol=1e-5,
+                                       atol=1e-6)

@@ -205,3 +205,22 @@ def test_gens_per_dispatch_block_matches_per_gen(tmp_path):
             np.asarray(series[1][key], dtype=np.float64),
             rtol=1e-5, atol=1e-6, err_msg=key,
         )
+
+
+def test_es_safe_mutations_end_to_end(tmp_path):
+    """NIC-ES with SM-G-SUM: the per-parent sensitivity matrix is rebuilt
+    each generation by the fused lax.map sweep and shapes the mutations
+    (reference: sens cached per (task, parent), safe_mutations.py:34-84)."""
+    from nes_img_captioning_tpu.algorithms.es import ESMaster
+
+    exp = _mnist_exp("nic_es", str(tmp_path / "run"), nb_offspring=8,
+                     safe_mutations="SM-G-SUM")
+    exp["population_size"] = 4
+    master = ESMaster(exp)
+    master.run_master(max_iterations=2)
+    sens = np.asarray(master._sens_mat)
+    # one row per (static) parent-matrix row, postprocessed to >= 1
+    assert sens.shape == (master.parents_mat.shape[0], master.engine.dim)
+    assert sens.min() >= 1.0 and np.isfinite(sens).all()
+    assert sens.max() > 1.0
+    assert len(master.stats.score_stats()[1]) == 2

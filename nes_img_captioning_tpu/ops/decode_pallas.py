@@ -93,68 +93,76 @@ def _kernel(seed_ref, feats_ref, img_w_ref, img_b_ref, i2h_w_ref, i2h_b_ref,
     tok_ref[:] = jnp.zeros((B, 1), jnp.int32)
     unfin_ref[:] = jnp.ones((B, 1), jnp.int32)
     alive_ref[0] = 1
+    # outputs are zero-initialized so the per-step work (two 9600-wide
+    # matmuls + reductions) can be SKIPPED outright once every row has
+    # emitted EOS — the reference's early `break` (nets.py:242-243) as
+    # predicated execution; trailing rows are already the masked zeros
+    seq_ref[:] = jnp.zeros(seq_ref.shape, jnp.int32)
+    lp_ref[:] = jnp.zeros(lp_ref.shape, f32)
 
     # loop state lives in scratch refs (Mosaic does not legalize scf.for
     # with vector carries), so the fori_loop carries nothing
     def step(t, _):
-        onehot = (col == tok_ref[:]).astype(dt)
-        xt = dott(onehot, embed_ref[:])
-        h, c = lstm(xt.astype(dt), h_ref[:], c_ref[:])
-        h_ref[:], c_ref[:] = h, c
+        @pl.when(alive_ref[0] > 0)
+        def _active_step():
+            onehot = (col == tok_ref[:]).astype(dt)
+            xt = dott(onehot, embed_ref[:])
+            h, c = lstm(xt.astype(dt), h_ref[:], c_ref[:])
+            h_ref[:], c_ref[:] = h, c
 
-        logits = dott(h.astype(dt), logit_w_ref[:]) + logit_b_ref[:]
-        if need_logprobs:
-            mx = jnp.max(logits, axis=1, keepdims=True)        # (B, 1)
-            lse = mx + jnp.log(
-                jnp.sum(jnp.exp(logits - mx), axis=1, keepdims=True)
-            )
-        if greedy:
-            tok = jnp.argmax(logits, axis=1).astype(jnp.int32)[:, None]
-            # greedy fitness consumes only the tokens: the log-softmax
-            # reductions (exp+log over the whole padded vocab, every step)
-            # are skipped unless the caller asked for logprobs
-            lp_tok = (mx - lse)[:, 0] if need_logprobs else jnp.zeros(
-                (logits.shape[0],), f32
-            )
-        else:
-            # multinomial sampling via Gumbel-max: argmax(logits + G) with
-            # G = -log(-log U) is an exact categorical sample — the
-            # statistical equivalent of the reference's np.random.choice path
-            # (nets.py:211-228); on-chip PRNG, one extra VPU pass.
-            # host_rng=True (tests / non-TPU) reads a precomputed table.
-            if host_rng:
-                gumbel = gumbel_ref[t]
-            else:
-                bits = pltpu.prng_random_bits((B, Vpad))
-                # uint32 -> uniform (0,1) via the mantissa trick (Mosaic has
-                # no uint32->f32 cast): top 23 bits into an exponent-1 float
-                mant = (pltpu.bitcast(bits, jnp.uint32) >> 9) | jnp.uint32(
-                    0x3F800000
-                )
-                u = pltpu.bitcast(mant, jnp.float32) - 1.0  # [0, 1)
-                u = u * (1.0 - 2e-7) + 1e-7  # strictly inside (0, 1)
-                gumbel = -jnp.log(-jnp.log(u))
-            tok = jnp.argmax(logits + gumbel, axis=1).astype(jnp.int32)[:, None]
+            logits = dott(h.astype(dt), logit_w_ref[:]) + logit_b_ref[:]
             if need_logprobs:
-                # logprob of the sampled token: logits[tok] - lse, one-hot mask
-                sel = (col == tok).astype(jnp.float32)
-                lp_tok = (jnp.sum(logits * sel, axis=1, keepdims=True)
-                          - lse)[:, 0]
+                mx = jnp.max(logits, axis=1, keepdims=True)        # (B, 1)
+                lse = mx + jnp.log(
+                    jnp.sum(jnp.exp(logits - mx), axis=1, keepdims=True)
+                )
+            if greedy:
+                tok = jnp.argmax(logits, axis=1).astype(jnp.int32)[:, None]
+                # greedy fitness consumes only the tokens: the log-softmax
+                # reductions (exp+log over the whole padded vocab, every
+                # step) are skipped unless the caller asked for logprobs
+                lp_tok = (mx - lse)[:, 0] if need_logprobs else jnp.zeros(
+                    (logits.shape[0],), f32
+                )
             else:
-                lp_tok = jnp.zeros((logits.shape[0],), f32)
+                # multinomial sampling via Gumbel-max: argmax(logits + G)
+                # with G = -log(-log U) is an exact categorical sample — the
+                # statistical equivalent of the reference's np.random.choice
+                # path (nets.py:211-228); on-chip PRNG, one extra VPU pass.
+                # host_rng=True (tests / non-TPU) reads a precomputed table.
+                if host_rng:
+                    gumbel = gumbel_ref[t]
+                else:
+                    bits = pltpu.prng_random_bits((B, Vpad))
+                    # uint32 -> uniform (0,1) via the mantissa trick (Mosaic
+                    # has no uint32->f32 cast): top 23 bits into an
+                    # exponent-1 float
+                    mant = (pltpu.bitcast(bits, jnp.uint32) >> 9) | jnp.uint32(
+                        0x3F800000
+                    )
+                    u = pltpu.bitcast(mant, jnp.float32) - 1.0  # [0, 1)
+                    u = u * (1.0 - 2e-7) + 1e-7  # strictly inside (0, 1)
+                    gumbel = -jnp.log(-jnp.log(u))
+                tok = jnp.argmax(logits + gumbel, axis=1).astype(
+                    jnp.int32
+                )[:, None]
+                if need_logprobs:
+                    # logprob of the sampled token: logits[tok] - lse
+                    sel = (col == tok).astype(jnp.float32)
+                    lp_tok = (jnp.sum(logits * sel, axis=1, keepdims=True)
+                              - lse)[:, 0]
+                else:
+                    lp_tok = jnp.zeros((logits.shape[0],), f32)
 
-        unfinished = unfin_ref[:] * (tok > 0).astype(jnp.int32)
-        tok = tok * unfinished
-        alive = alive_ref[0] > 0
-        lp = jnp.where(alive, lp_tok, 0.0)
+            unfinished = unfin_ref[:] * (tok > 0).astype(jnp.int32)
+            tok = tok * unfinished
 
-        seq_ref[pl.ds(t, 1), :] = tok[:, 0][None, :]
-        lp_ref[pl.ds(t, 1), :] = lp[None, :]
-        tok_ref[:] = tok
-        unfin_ref[:] = unfinished
-        alive_ref[0] = jnp.where(
-            jnp.logical_and(alive, jnp.any(unfinished > 0)), 1, 0
-        )
+            seq_ref[pl.ds(t, 1), :] = tok[:, 0][None, :]
+            lp_ref[pl.ds(t, 1), :] = lp_tok[None, :]
+            tok_ref[:] = tok
+            unfin_ref[:] = unfinished
+            alive_ref[0] = jnp.where(jnp.any(unfinished > 0), 1, 0)
+
         return 0
 
     jax.lax.fori_loop(0, seq_length, step, 0)

@@ -72,6 +72,16 @@ class PopulationEngine:
             return replicate_global(self.mesh, np.asarray(x))
         return jnp.asarray(x)
 
+    def _out_shardings(self):
+        """Multi-controller: pin every jit output to mesh-replicated so the
+        host can fetch results (XLA otherwise may leave outputs sharded
+        across non-addressable devices). None single-controller."""
+        if self.mesh is not None and jax.process_count() > 1:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            return NamedSharding(self.mesh, PartitionSpec())
+        return None
+
     def _unchunk(self, out, n: int):
         """Flatten (n_chunks, chunk, ...) leaves and drop the pad lanes."""
         return jax.tree_util.tree_map(

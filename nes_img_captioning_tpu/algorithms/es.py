@@ -49,10 +49,15 @@ class ESEngine(PopulationEngine):
         super().__init__(task, mesh=mesh, pop_chunk=pop_chunk)
         self.mutation = mutation
 
-        self._eval_jit = jax.jit(self._eval_fn)
-        self._fresh_eval_jit = jax.jit(self._fresh_eval_fn)
-        self._materialize_jit = jax.jit(self._materialize_fn)
-        self._materialize_fresh_jit = jax.jit(self._materialize_fresh_fn)
+        # multi-controller: replicated outputs so the host can fetch
+        # fitnesses / materialized thetas (single-controller: None = default)
+        outs = self._out_shardings()
+        self._eval_jit = jax.jit(self._eval_fn, out_shardings=outs)
+        self._fresh_eval_jit = jax.jit(self._fresh_eval_fn, out_shardings=outs)
+        self._materialize_jit = jax.jit(self._materialize_fn,
+                                        out_shardings=outs)
+        self._materialize_fresh_jit = jax.jit(self._materialize_fresh_fn,
+                                              out_shardings=outs)
 
     # ---- device fns ------------------------------------------------------------------
 
@@ -110,28 +115,30 @@ class ESEngine(PopulationEngine):
         L = seeds.shape[0]
         n_chunks, chunk = self._plan(L)
         seeds_d = self._lay_out(seeds.astype(np.uint32), n_chunks, chunk)
+        idx_d = self._replicated(np.asarray(idx_row, np.int32))
         if fresh:
-            out = self._fresh_eval_jit(seeds_d, jnp.asarray(idx_row, jnp.int32))
+            out = self._fresh_eval_jit(seeds_d, idx_d)
         else:
             pidx_d = self._lay_out(pidx.astype(np.int32), n_chunks, chunk)
             sidx = self._sens_rows(pidx)
             sidx_d = self._lay_out(sidx.astype(np.int32), n_chunks, chunk)
             out = self._eval_jit(
-                parents_mat, sens_mat, jnp.float32(sigma),
-                seeds_d, pidx_d, sidx_d, jnp.asarray(idx_row, jnp.int32),
+                parents_mat, sens_mat, self._replicated(np.float32(sigma)),
+                seeds_d, pidx_d, sidx_d, idx_d,
             )
         return self._unchunk(out, L)
 
     def materialize(self, parents_mat, sens_mat, sigma, seeds, pidx,
                     fresh: bool = False):
         """Rebuild the thetas of selected children from their lineage."""
-        seeds = jnp.asarray(np.asarray(seeds, np.uint32))
+        seeds = self._replicated(np.asarray(seeds, np.uint32))
         if fresh:
             return self._materialize_fresh_jit(seeds)
         sidx = self._sens_rows(pidx)
         return self._materialize_jit(
-            parents_mat, sens_mat, jnp.float32(sigma),
-            seeds, jnp.asarray(pidx, jnp.int32), jnp.asarray(sidx, jnp.int32),
+            parents_mat, sens_mat, self._replicated(np.float32(sigma)),
+            seeds, self._replicated(np.asarray(pidx, np.int32)),
+            self._replicated(np.asarray(sidx, np.int32)),
         )
 
 
@@ -160,6 +167,7 @@ class ESMaster:
         self.engine = ESEngine(
             self.task, self.mutation, mesh=mesh, pop_chunk=self.tpu_cfg.pop_chunk
         )
+        self._init_multihost_placement()
 
         self._elite_path_tpl = os.path.join(
             self.experiment.elite_dir(), "0_{i}_elite_params.pth"
@@ -176,17 +184,43 @@ class ESMaster:
         self._parent_paths: list = []  # path or None, aligned with matrix rows
         self.elites_to_evaluate: list = []  # (cand_id, path)
         self.policy_theta = None  # representative (best evaluated elite)
-        self._sens_mat = jnp.ones((1, self.engine.dim), jnp.float32)
+        self._sens_mat = self._place(np.ones((1, self.engine.dim), np.float32))
         if self.mutation is MutationKind.SAFE_VECTOR:
             from .nes import _load_sensitivity_file
 
-            v = jnp.asarray(
-                _load_sensitivity_file(mopts["safe_mutation_vector"]), jnp.float32
+            v = np.asarray(
+                _load_sensitivity_file(mopts["safe_mutation_vector"]),
+                np.float32,
             )
-            v = jnp.maximum(v, self._underflow)
-            self._sens_mat = (v / v.min())[None, :]
+            v = np.maximum(v, self._underflow)
+            self._sens_mat = self._place((v / v.min())[None, :])
 
         self._init_population(exp)
+
+    def _init_multihost_placement(self):
+        """Multi-controller wiring, mirroring NESMaster: device-resident
+        state (parent matrix, sensitivity rows) becomes mesh-replicated
+        GLOBAL arrays, the task re-homes its datasets, and host bookkeeping
+        stays in lockstep via the shared tpu.seed (non-primary processes
+        mirror all FS effects in a scratch dir — setup_log_dir)."""
+        self._multihost = jax.process_count() > 1
+        if not self._multihost:
+            return
+        assert self.mesh is not None and \
+            self.mesh.devices.size == jax.device_count(), \
+            "multi-host runs need a mesh spanning all global devices"
+        assert self.tpu_cfg.seed is not None, \
+            "multi-host runs require tpu.seed (hosts must draw identical streams)"
+        self.task.place_on_mesh(self.mesh)
+
+    def _place(self, x):
+        """Host/local array -> device form the engine's programs accept:
+        identity single-controller, mesh-replicated global multi-controller."""
+        if getattr(self, "_multihost", False):
+            from ..parallel.multihost import replicate_global
+
+            return replicate_global(self.mesh, np.asarray(x))
+        return jnp.asarray(x)
 
     # ---- init modes -------------------------------------------------------------
 
@@ -250,14 +284,18 @@ class ESMaster:
         podium fills (E elites join over the first generations) and every
         new shape forces a full XLA recompile (~50 s/generation measured).
         Padding rows duplicate row 0 and are never selected (parent indices
-        are drawn over the true count, self._n_parents)."""
-        mat = jnp.asarray(mat)
+        are drawn over the true count, self._n_parents).
+
+        Multi-controller: assembled on host and placed as a mesh-replicated
+        global array (single-controller keeps the device-side concatenate)."""
+        xp = np if getattr(self, "_multihost", False) else jnp
+        mat = xp.asarray(mat)
         P = max(self.experiment.population_size(), mat.shape[0])
         self._n_parents = int(mat.shape[0])
         if mat.shape[0] < P:
-            pad = jnp.broadcast_to(mat[:1], (P - mat.shape[0], mat.shape[1]))
-            mat = jnp.concatenate([mat, pad], axis=0)
-        self.parents_mat = mat
+            pad = xp.broadcast_to(mat[:1], (P - mat.shape[0], mat.shape[1]))
+            mat = xp.concatenate([mat, pad], axis=0)
+        self.parents_mat = self._place(mat) if xp is np else mat
         self._parent_paths = paths
 
     def _load_theta_cached(self, path: str):
@@ -298,8 +336,10 @@ class ESMaster:
             return
         from ..ops.sensitivity import calc_sensitivities
 
+        # idx as a host array: auto-replicated by the jit in both single-
+        # and multi-controller execution
         self._sens_mat = calc_sensitivities(
-            self.task, self.parents_mat, jnp.asarray(idx_row),
+            self.task, self.parents_mat, np.asarray(idx_row, np.int32),
             self.mutation, self._underflow,
         )
 
@@ -348,12 +388,12 @@ class ESMaster:
                 #    previous generation (reference eval jobs)
                 for cid, path in self.elites_to_evaluate:
                     score = self.task.validate(
-                        jnp.asarray(self._load_theta_cached(path))
+                        self._place(self._load_theta_cached(path))
                     )
                     it.record_eval_result(cid, path, score)
                 best_ev_acc, best_ev_elite = it.process_evaluated_elites()
                 if best_ev_elite:
-                    self.policy_theta = jnp.asarray(spec.load_pth(best_ev_elite))
+                    self.policy_theta = self._place(spec.load_pth(best_ev_elite))
 
                 # 2. offspring fitness sweep
                 fresh = self.parents_mat is None
@@ -402,12 +442,19 @@ class ESMaster:
                     if path and os.path.isfile(path):
                         elite_rows.append(self._load_theta_cached(path))
                         elite_paths.append(path)
-                rows = (
-                    [jnp.asarray(np.stack(elite_rows))] if elite_rows else []
-                ) + [selected]
+                if self._multihost:
+                    # host-side assembly; _set_parents re-places globally
+                    rows = ([np.stack(elite_rows)] if elite_rows else []
+                            ) + [np.asarray(selected)]
+                    mat = np.concatenate(rows, axis=0)
+                else:
+                    rows = (
+                        [jnp.asarray(np.stack(elite_rows))] if elite_rows
+                        else []
+                    ) + [selected]
+                    mat = jnp.concatenate(rows, axis=0)
                 self._set_parents(
-                    jnp.concatenate(rows, axis=0),
-                    elite_paths + [None] * selected.shape[0],
+                    mat, elite_paths + [None] * selected.shape[0]
                 )
 
                 if it.patience_reached() or it.schedule_reached():

@@ -215,15 +215,7 @@ class NESEngine(PopulationEngine):
         return theta, opt_state, packs  # (K, 2F+2)
 
 
-    def _out_shardings(self):
-        """Multi-controller: pin every jit output to mesh-replicated so the
-        host can fetch the packed stats (XLA otherwise may leave outputs
-        sharded across non-addressable devices). None single-controller."""
-        if self.mesh is not None and jax.process_count() > 1:
-            from jax.sharding import NamedSharding, PartitionSpec
-
-            return NamedSharding(self.mesh, PartitionSpec())
-        return None
+    # _out_shardings inherited from PopulationEngine
 
     # ---- host entry points ----------------------------------------------------------
 
@@ -432,11 +424,9 @@ class NESMaster:
             "multi-host runs need a mesh spanning all global devices"
         assert self.tpu_cfg.seed is not None, \
             "multi-host runs require tpu.seed (hosts must draw identical streams)"
-        if self.mutation in (MutationKind.SAFE_GRAD_SUM,
-                             MutationKind.SAFE_GRAD_ABS):
-            raise NotImplementedError(
-                "SM-G-* sensitivities are not wired for multi-host yet"
-            )
+        # SM-G-* works unchanged: the sensitivity jit consumes the global
+        # theta + the mesh-placed dataset and its replicated-input output is
+        # replicated, so it feeds the eval programs like any placed array
         self.task.place_on_mesh(self.mesh)
 
     def _place(self, x):

@@ -29,7 +29,8 @@ def test_two_process_nes_generation(tmp_path):
     exp["nb_offspring"] = 8
     exp["synthetic_sizes"] = [64, 16]
     exp["config"].update({"batch_size": 8, "snapshot_freq": 2})
-    # SM-G-* sensitivities are not wired for multi-host; plain mutation
+    # plain mutation here keeps the test fast; the ES test below covers the
+    # SM-G sensitivity path under multi-controller execution
     exp["policy_options"]["model_options"]["safe_mutations"] = ""
     exp["log_dir"] = str(tmp_path / "run")
     exp["tpu"] = {"seed": 11}  # REQUIRED: hosts must draw identical streams
@@ -82,3 +83,69 @@ def test_two_process_nes_generation(tmp_path):
     # the replica's scratch dir never leaks into the primary's artifacts
     assert "nes_replica_logdir_" not in snaps[0].read_text()
     assert np.isfinite(infos["score_stats"]).all()
+
+
+def test_two_process_es_generation(tmp_path):
+    """NIC-ES across two jax.distributed processes: offspring sweep sharded
+    over the global devices, lockstep host bookkeeping, primary-only
+    artifacts (incl. the parents/elite .pth files the z_info references)."""
+    exp = json.load(open(os.path.join(REPO, "experiments/mnist_es.json")))
+    exp["nb_offspring"] = 8
+    exp["population_size"] = 4
+    exp["num_elites"] = 1
+    exp["num_elite_cands"] = 1
+    exp["synthetic_sizes"] = [64, 16]
+    exp["config"].update({"batch_size": 8, "snapshot_freq": 2,
+                          "patience": 0})
+    # keep mnist_es.json's SM-G-SUM: exercises the per-parent sensitivity
+    # sweep under multi-controller execution (replicated jit output feeding
+    # the sharded offspring sweep)
+    assert exp["policy_options"]["model_options"]["safe_mutations"] == "SM-G-SUM"
+    exp["log_dir"] = str(tmp_path / "run")
+    exp["tpu"] = {"seed": 13}
+    exp_file = tmp_path / "exp.json"
+    exp_file.write_text(json.dumps(exp))
+
+    port = _free_port()
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["XLA_FLAGS"] = " ".join(
+        f for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f
+    ) + " --xla_force_host_platform_device_count=2"
+
+    procs = []
+    for pid in range(2):
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "nes_img_captioning_tpu.main", "master",
+             "--exp_file", str(exp_file), "--max_iterations", "2",
+             "--platform", "cpu",
+             "--coordinator", f"127.0.0.1:{port}",
+             "--num_processes", "2", "--process_id", str(pid)],
+            env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        ))
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=500)
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid}:\n{out[-3000:]}"
+
+    def stat_lines(out, label):
+        return [ln.split("|")[2].strip() for ln in out.splitlines()
+                if f"| {label}:" in ln]
+
+    for label in ("RewMean", "RewMax", "EliteAcc"):
+        a, b = stat_lines(outs[0], label), stat_lines(outs[1], label)
+        assert len(a) == 2 and a == b, (label, a, b)
+
+    run_dir = tmp_path / "run"
+    snaps = list((run_dir / "snapshot").glob("z_info_*.json"))
+    assert len(snaps) == 1
+    infos = json.loads(snaps[0].read_text())
+    assert infos["iter"] == 2
+    for _, path in infos["parents"] + infos["elites_to_evaluate"]:
+        assert os.path.isfile(path), path
+        assert str(run_dir) in path
+    assert "nes_replica_logdir_" not in snaps[0].read_text()

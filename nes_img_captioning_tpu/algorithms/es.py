@@ -45,8 +45,10 @@ __all__ = ["ESEngine", "ESMaster"]
 
 
 class ESEngine(PopulationEngine):
-    def __init__(self, task, mutation: MutationKind, mesh=None, pop_chunk: int = 0):
-        super().__init__(task, mesh=mesh, pop_chunk=pop_chunk)
+    def __init__(self, task, mutation: MutationKind, mesh=None,
+                 pop_chunk: int = 0, rng_impl: str = ""):
+        super().__init__(task, mesh=mesh, pop_chunk=pop_chunk,
+                         rng_impl=rng_impl)
         self.mutation = mutation
 
         # multi-controller: replicated outputs so the host can fetch
@@ -63,7 +65,7 @@ class ESEngine(PopulationEngine):
 
     def _child(self, parents_mat, sens_mat, sigma, seed, pi, si):
         parent = parents_mat[pi]
-        noise = gaussian_noise(jax.random.key(seed), self.dim, sigma)
+        noise = gaussian_noise(self._mk_key(seed), self.dim, sigma)
         delta = shape_noise(
             noise, parent,
             sensitivity=sens_mat[si] if self.mutation.is_safe else None,
@@ -74,7 +76,7 @@ class ESEngine(PopulationEngine):
     def _eval_fn(self, parents_mat, sens_mat, sigma, seeds, pidx, sidx, idx_row):
         def one(seed, pi, si):
             child = self._child(parents_mat, sens_mat, sigma, seed, pi, si)
-            key = jax.random.fold_in(jax.random.key(seed), 3)
+            key = jax.random.fold_in(self._mk_key(seed), 3)
             return self.task.rollout(child, idx_row, key=key)
 
         return jax.lax.map(
@@ -83,8 +85,8 @@ class ESEngine(PopulationEngine):
 
     def _fresh_eval_fn(self, seeds, idx_row):
         def one(seed):
-            child = self.task.spec.init_theta(jax.random.key(seed))
-            key = jax.random.fold_in(jax.random.key(seed), 3)
+            child = self.task.spec.init_theta(self._mk_key(seed))
+            key = jax.random.fold_in(self._mk_key(seed), 3)
             return self.task.rollout(child, idx_row, key=key)
 
         return jax.lax.map(lambda s: jax.vmap(one)(s), seeds)
@@ -96,7 +98,7 @@ class ESEngine(PopulationEngine):
 
     def _materialize_fresh_fn(self, seeds):
         return jax.vmap(
-            lambda s: self.task.spec.init_theta(jax.random.key(s))
+            lambda s: self.task.spec.init_theta(self._mk_key(s))
         )(seeds)
 
     def _sens_rows(self, pidx: np.ndarray) -> np.ndarray:
@@ -165,7 +167,9 @@ class ESMaster:
         self.mutation = MutationKind(mopts.get("safe_mutations", "") or "")
         self._underflow = mopts.get("safe_mutation_underflow", 0.01)
         self.engine = ESEngine(
-            self.task, self.mutation, mesh=mesh, pop_chunk=self.tpu_cfg.pop_chunk
+            self.task, self.mutation, mesh=mesh,
+            pop_chunk=self.tpu_cfg.pop_chunk,
+            rng_impl=self.tpu_cfg.rng_impl,
         )
         self._init_multihost_placement()
 

@@ -54,8 +54,9 @@ class NESEngine(PopulationEngine):
     the same object also backs the multi-chip dry-run and the benchmark."""
 
     def __init__(self, task, optimizer, mutation: MutationKind, mesh=None,
-                 pop_chunk: int = 0):
-        super().__init__(task, mesh=mesh, pop_chunk=pop_chunk)
+                 pop_chunk: int = 0, rng_impl: str = ""):
+        super().__init__(task, mesh=mesh, pop_chunk=pop_chunk,
+                         rng_impl=rng_impl)
         self.optimizer = optimizer
         self.mutation = mutation
 
@@ -70,7 +71,7 @@ class NESEngine(PopulationEngine):
     # ---- device fns ----------------------------------------------------------------
 
     def _delta(self, theta, sens, sigma, seed):
-        noise = gaussian_noise(jax.random.key(seed), self.dim, sigma)
+        noise = gaussian_noise(self._mk_key(seed), self.dim, sigma)
         return shape_noise(
             noise, theta,
             sensitivity=sens if self.mutation.is_safe else None,
@@ -83,7 +84,7 @@ class NESEngine(PopulationEngine):
 
         def pair(seed, idx_i):
             delta = self._delta(theta, sens, sigma, seed)
-            base = jax.random.key(seed)
+            base = self._mk_key(seed)
             pos = self.task.rollout(theta + delta, idx_i,
                                     key=jax.random.fold_in(base, 1))
             neg = self.task.rollout(theta - delta, idx_i,
@@ -163,7 +164,7 @@ class NESEngine(PopulationEngine):
 
         def pair(seed, idx_i):
             delta = self._delta(theta, sens, sigma, seed)
-            base = jax.random.key(seed)
+            base = self._mk_key(seed)
             pos = self._fitness_of(self.task.rollout(
                 theta + delta, idx_i, key=jax.random.fold_in(base, 1)))
             neg = self._fitness_of(self.task.rollout(
@@ -383,6 +384,7 @@ class NESMaster:
         self.engine = NESEngine(
             self.task, self.optimizer, self.mutation,
             mesh=mesh, pop_chunk=self.tpu_cfg.pop_chunk,
+            rng_impl=self.tpu_cfg.rng_impl,
         )
         self._init_multihost_placement()
 

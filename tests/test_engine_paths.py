@@ -202,3 +202,39 @@ def test_batched_sensitivities_match_per_parent():
             )
             np.testing.assert_allclose(batched[i], single, rtol=1e-5,
                                        atol=1e-6)
+
+
+def test_rbg_rng_impl_trains_and_replays():
+    """tpu.rng_impl='rbg' (fast TPU PRNG): the seed-replay contract — the
+    update phase regenerating identical deltas from the eval seeds — must
+    hold for the alternate stream family too."""
+    from nes_img_captioning_tpu.algorithms.nes import NESEngine
+    from nes_img_captioning_tpu.algorithms.optimizers import Adam
+    from nes_img_captioning_tpu.ops.mutation import MutationKind
+
+    task = _mnist_task()
+    rng = np.random.default_rng(5)
+    F = 6
+    seeds = rng.integers(0, 2**32, size=F, dtype=np.uint32)
+    idx = rng.integers(0, 64, size=(F, 16)).astype(np.int32)
+    theta = task.generate_theta(jax.random.PRNGKey(0))
+    sens = jnp.ones((task.spec.num_params,), jnp.float32)
+
+    thetas = {}
+    for impl in ("", "rbg"):
+        eng = NESEngine(task, Adam(0.01), MutationKind.DEFAULT,
+                        pop_chunk=4, rng_impl=impl)
+        artifacts, deltas = eng.eval_generation(theta, sens, 0.05, seeds, idx)
+        fit = np.asarray(task.host_fitness(artifacts, idx))
+        st = eng.optimizer.init(eng.dim)
+        _, th_carried, _ = eng.update(theta, st, sens, 0.05, seeds, fit,
+                                      0.01, 1e-3, deltas=deltas)
+        _, th_regen, _ = eng.update(theta, st, sens, 0.05, seeds, fit,
+                                    0.01, 1e-3, deltas=None)
+        # einsum vs chunked-map accumulation order: identical math, ~1e-6
+        np.testing.assert_allclose(np.asarray(th_carried),
+                                   np.asarray(th_regen),
+                                   rtol=1e-5, atol=5e-6)
+        thetas[impl] = np.asarray(th_carried)
+    # different stream families genuinely draw different noise
+    assert np.abs(thetas[""] - thetas["rbg"]).max() > 0

@@ -85,7 +85,8 @@ class CocoTask(Task):
             os.path.join(exp["log_dir"], "eval") if exp.get("log_dir") else None
         )
         self._val_decode = jax.jit(
-            lambda theta, feats: self.model.sample(theta, feats, True)[0]
+            lambda theta, feats: self._greedy(theta, feats,
+                                              need_logprobs=False)[0]
         )
 
         # fused Pallas decode path: TPU-only, greedy, no norm layers
@@ -335,11 +336,22 @@ class CocoTask(Task):
     # ---- validation ------------------------------------------------------------------
 
     def _decode_split(self, theta, feats, num: int, bs: int) -> np.ndarray:
+        """Greedy-decode a split in fixed-size chunks (fused kernel when
+        enabled). The ragged tail is padded to the chunk size and sliced
+        back — greedy rows are independent, and one batch shape means one
+        compiled program instead of two."""
         n = feats.shape[0] if num in (-1, None, 0) else min(num, feats.shape[0])
+        bs = min(bs, n)
         outs = []
         for s in range(0, n, bs):
             e = min(s + bs, n)
-            outs.append(np.asarray(self._val_decode(theta, feats[s:e])))
+            chunk = feats[s:e]
+            if e - s < bs:
+                chunk = jnp.concatenate(
+                    [chunk, jnp.zeros((bs - (e - s), chunk.shape[1]),
+                                      chunk.dtype)], axis=0
+                )
+            outs.append(np.asarray(self._val_decode(theta, chunk))[: e - s])
         return np.concatenate(outs, axis=0)
 
     def _write_predictions(self, seqs: np.ndarray, split: str):

@@ -211,3 +211,24 @@ def test_population_smaller_than_mesh(coco_fixture, tmp_path):
     master = ESMaster(exp)
     master.run_master(max_iterations=2)
     assert len(master.stats.score_stats()[1]) == 2
+
+
+def test_decode_split_ragged_tail_pad(coco_fixture):
+    """_decode_split pads the ragged tail chunk to the batch size and slices
+    back: results must equal a single whole-split decode (greedy rows are
+    independent)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nes_img_captioning_tpu.tasks.captioning import CocoTask
+    from nes_img_captioning_tpu.utils.config import Config, TpuConfig
+
+    exp = {"dataset": "mscoco", "caption_options": dict(coco_fixture),
+           "policy_options": {"fitness": "greedy",
+                              "model_options": {"fc_feat_size": 32}}}
+    task = CocoTask(exp, Config(batch_size=8), TpuConfig(seed=0))
+    theta = task.generate_theta(jax.random.PRNGKey(1))
+    feats = task.val_fc[:11]  # 11 = 8 + ragged 3
+    chunked = task._decode_split(theta, feats, -1, 8)
+    whole = np.asarray(task.model.sample(jnp.asarray(theta), feats, True)[0])
+    np.testing.assert_array_equal(chunked, whole)

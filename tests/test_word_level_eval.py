@@ -100,3 +100,4 @@ def test_validate_writes_predictions_artifact(tmp_path):
 
     task.test_score(theta)
     assert (tmp_path / "run" / "eval" / "eval_cache_test.json").is_file()
+

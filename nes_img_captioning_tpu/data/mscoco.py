@@ -143,6 +143,24 @@ class CocoData:
         seq = np.asarray(seq)
         return self._tok_to_word_id[np.clip(seq, 0, self.vocab_size)]
 
+    def word_stem_of(self, word_id: int) -> int:
+        """Word-id (from word_id_rows) -> Porter-stem-class id, for METEOR's
+        stem matcher (language_eval). Built once from the vocab strings."""
+        if not hasattr(self, "_word_stem_table"):
+            from ..fitness.meteor import porter_stem
+
+            word_of: dict[int, str] = {}
+            for t in range(1, self.vocab_size + 1):
+                wid = int(self.word_id_rows(np.asarray([t]))[0])
+                word_of.setdefault(wid, self.ix_to_word[str(t)])
+            stem_ids: dict[str, int] = {}
+            table = np.zeros(max(word_of, default=0) + 1, np.int32)
+            for wid, w in word_of.items():
+                s = porter_stem(w.lower())
+                table[wid] = stem_ids.setdefault(s, len(stem_ids) + 1)
+            self._word_stem_table = table
+        return int(self._word_stem_table[word_id])
+
     def split_gts_words(self, split: str) -> list:
         """Per-image reference captions as word-id rows (for word-level
         validation scoring)."""

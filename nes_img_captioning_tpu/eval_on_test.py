@@ -63,6 +63,7 @@ def evaluate_checkpoints(models: dict[str, str], caption_options: dict,
         stats = language_eval(
             data.word_id_rows(seqs),
             [data.word_id_rows(g) for g in gts[:n]],
+            stem_of=data.word_stem_of,
         )
         logger.info("%s: %s", name, stats)
         sents = data.decode_sequence(seqs)

@@ -8,8 +8,11 @@ src/captioning/policies.py:130-143). For offline eval parity we provide the
 pure-Python computable metrics over token ids (BLEU with corpus-level brevity
 penalty and closest-reference length, per Papineni et al. 2002 / the
 coco-caption convention; ROUGE-L per Lin 2004 with beta=1.2 as in
-coco-caption). METEOR and SPICE require external Java models and are
-intentionally not reimplemented; ``language_eval`` reports them as None.
+coco-caption; METEOR per Banerjee & Lavie 2005 with exact + Porter-stem
+matchers — see fitness/meteor.py for the deviation from the Java
+METEOR-1.5's synonym/paraphrase stages). SPICE requires an external
+dependency parser + scene-graph models and is intentionally not
+reimplemented; ``language_eval`` reports it as None.
 """
 
 from __future__ import annotations
@@ -94,9 +97,12 @@ def rouge_l(cands, gts_list, beta: float = 1.2) -> float:
     return float(np.mean(scores)) if scores else 0.0
 
 
-def language_eval(cands, gts_list) -> dict:
+def language_eval(cands, gts_list, stem_of=None) -> dict:
     """COCOEvalCap-shaped metric dict over token ids
-    (reference: src/captioning/eval_utils.py:49-57)."""
+    (reference: src/captioning/eval_utils.py:49-57). ``stem_of``: optional
+    token -> stem-class mapping (CocoData.word_stem_of) enabling METEOR's
+    stage-2 stem matcher; without it METEOR matches exact tokens only."""
+    from .meteor import meteor_corpus
     from .scorer import IndexedCiderScorer
 
     bleus = corpus_bleu(cands, gts_list)
@@ -109,6 +115,8 @@ def language_eval(cands, gts_list) -> dict:
         "Bleu_4": bleus[3],
         "ROUGE_L": rouge_l(cands, gts_list),
         "CIDEr": float(mean_cider),
-        "METEOR": None,  # Java-based in the reference; not reimplemented
-        "SPICE": None,   # idem
+        # Banerjee-Lavie 2005 formulation (exact+stem matchers); the
+        # reference's Java METEOR-1.5 adds WordNet synonym/paraphrase stages
+        "METEOR": meteor_corpus(cands, gts_list, stem_of),
+        "SPICE": None,  # needs an external scene-graph parser; not reimplemented
     }

@@ -63,6 +63,14 @@ class NESEngine(PopulationEngine):
         self._eval_jit = jax.jit(self._eval_fn, static_argnames=("with_deltas",))
         self._update_jit = jax.jit(self._update_fn)
         self._update_deltas_jit = jax.jit(self._update_with_deltas_fn)
+        # decode-ordered fast path (ops/decode_layout.py): the fused
+        # generation perturbs/aggregates in the kernel's own layout so the
+        # per-member prep is one elementwise pass — available when the task
+        # both scores on device and exposes a layout (CocoTask fused+greedy)
+        self._layout = (
+            getattr(task, "decode_layout", None)
+            if task.fitness_on_device else None
+        )
 
     # deltas kept as an eval output (skipping their regeneration in the
     # update) while the (F, dim) matrix fits comfortably in HBM
@@ -74,6 +82,17 @@ class NESEngine(PopulationEngine):
         noise = gaussian_noise(self._mk_key(seed), self.dim, sigma)
         return shape_noise(
             noise, theta,
+            sensitivity=sens if self.mutation.is_safe else None,
+            proportional=self.mutation.is_proportional,
+        )
+
+    def _scale_vec(self, theta, sens, sigma):
+        """Member-independent elementwise noise scale: delta ==
+        scale_vec * N(0,1) for every mutation kind (shape_noise's factors
+        depend only on theta/sens/sigma, so they hoist out of the member
+        loop on the decode-layout path)."""
+        return shape_noise(
+            jnp.full((self.dim,), sigma, jnp.float32), theta,
             sensitivity=sens if self.mutation.is_safe else None,
             proportional=self.mutation.is_proportional,
         )
@@ -160,15 +179,38 @@ class NESEngine(PopulationEngine):
         HBM traffic, ~70 ms/generation measured; regeneration costs ~3 ms).
         Fitnesses + ratio are packed into one small vector so callers pay a
         single host sync (each sync costs a ~30 ms RTT on the tunnel this
-        harness runs through, which dwarfs any payload)."""
+        harness runs through, which dwarfs any payload).
+
+        With a decode layout available, the whole generation runs in the
+        kernel's own parameter order: theta and the noise scale are laid out
+        ONCE, each member's delta is scale_dec * N(0,1) (one elementwise
+        pass, no transposed materializations), and the gradient comes back
+        through the linear from_dec — exactly equivalent math per member
+        (tests/test_decode_layout.py)."""
+        lay = self._layout
+        if lay is None:
+            base_vec = theta
+            delta_of = lambda seed: self._delta(theta, sens, sigma, seed)  # noqa: E731
+            rollout = self.task.rollout
+            finish_grad = lambda g: g  # noqa: E731
+        else:
+            base_vec = lay.to_dec(theta)
+            scale_dec = lay.to_dec(
+                self._scale_vec(theta, sens, sigma), pad_scale=0.0
+            )
+            delta_of = lambda seed: scale_dec * jax.random.normal(  # noqa: E731
+                self._mk_key(seed), (lay.dim_dec,), jnp.float32
+            )
+            rollout = self.task.rollout_dec
+            finish_grad = lay.from_dec
 
         def pair(seed, idx_i):
-            delta = self._delta(theta, sens, sigma, seed)
+            delta = delta_of(seed)
             base = self._mk_key(seed)
-            pos = self._fitness_of(self.task.rollout(
-                theta + delta, idx_i, key=jax.random.fold_in(base, 1)))
-            neg = self._fitness_of(self.task.rollout(
-                theta - delta, idx_i, key=jax.random.fold_in(base, 2)))
+            pos = self._fitness_of(rollout(
+                base_vec + delta, idx_i, key=jax.random.fold_in(base, 1)))
+            neg = self._fitness_of(rollout(
+                base_vec - delta, idx_i, key=jax.random.fold_in(base, 2)))
             return jnp.stack([pos, neg])
 
         fits = jax.lax.map(
@@ -180,11 +222,11 @@ class NESEngine(PopulationEngine):
 
         def chunk_grad(xs):
             w_c, seeds_c = xs
-            d = jax.vmap(lambda s: self._delta(theta, sens, sigma, s))(seeds_c)
+            d = jax.vmap(delta_of)(seeds_c)
             return jnp.einsum("f,fd->d", w_c, d,
                               preferred_element_type=jnp.float32)
 
-        grad = jax.lax.map(chunk_grad, (weights, seeds)).sum(0)
+        grad = finish_grad(jax.lax.map(chunk_grad, (weights, seeds)).sum(0))
         opt_state, theta, ratio = self._apply_grad(
             theta, opt_state, grad, fitnesses.size, stepsize, l2coeff
         )

@@ -1,0 +1,152 @@
+"""Decode-ordered flat parameter layout for the fused-decode fast path.
+
+The canonical individual is a flat f32 vector in torch parameters_to_vector
+order (models/params.py). The fused decode kernel, however, consumes weights
+pre-transposed and vocab-padded (ops/decode_pallas.py:prepare_decode_params),
+so the per-member prep on the eval hot path is unravel + transpose + pad +
+cast — measured at ~12 ms/generation at bench scale against a ~6 ms
+HBM-bandwidth floor (docs/RESULTS.md): the transposed tables materialize an
+extra full pass over the ~11 MB of weights for every one of the 288 members.
+
+This module moves the transposes off the per-member path: ``to_dec`` builds a
+flat, decode-ordered, pre-padded f32 vector ONCE per generation; per member
+the prep is then ``theta_dec + scale_dec * noise`` followed by slice/reshape/
+cast — a single fusable elementwise pass. The NES gradient is aggregated in
+decode order and mapped back with ``from_dec`` (linear, so
+``from_dec(sum w_i * delta_dec_i) == sum w_i * from_dec(delta_dec_i)``),
+once per generation.
+
+Pad lanes (the vocab rows/cols between vocab_size+1 and the 128-lane
+multiple) draw ZERO noise — the per-member delta is ``scale_dec * normal``
+and the scale vector is laid out with ``pad_scale=0`` — so the padded logit
+bias stays exactly at NEG and argmax can never emit a pad token; ``from_dec``
+drops the pad lanes so nothing reaches the gradient. Equivalence with the
+torch-order path is exact per member for the same realized delta
+(tests/test_decode_layout.py).
+
+Reference counterpart: the mutation + rollout of the NES evolve job
+(src/algorithm/nets.py:83-119, src/captioning/nets.py:183-245); this is a
+pure device-layout optimization with identical algorithm semantics.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .decode_pallas import NEG, pad_vocab
+
+__all__ = ["DecodeLayout"]
+
+
+class DecodeLayout:
+    """Flat decode-ordered layout for the (no-norm) FC captioning model.
+
+    Tensor order mirrors prepare_decode_params' output dict; weights are
+    stored transposed to (in, out) and vocab-sized tensors padded to the
+    lane multiple, so ``prep`` is slice + reshape + cast only.
+    """
+
+    def __init__(self, spec, options):
+        V1 = options.vocab_size + 1
+        Vpad = pad_vocab(V1)
+        E, R, F = (options.input_encoding_size, options.rnn_size,
+                   options.fc_feat_size)
+        self.spec = spec
+        self.V1, self.Vpad = V1, Vpad
+        # (decode name, source leaf, decode shape, transposed?, pad value)
+        # biases are stored flat; prep reshapes them to the kernel's (1, N)
+        self.tensors = (
+            ("img_w", "img_embed.weight", (F, E), True, 0.0),
+            ("img_b", "img_embed.bias", (1, E), False, 0.0),
+            ("i2h_w", "core.i2h.weight", (E, 5 * R), True, 0.0),
+            ("i2h_b", "core.i2h.bias", (1, 5 * R), False, 0.0),
+            ("h2h_w", "core.h2h.weight", (R, 5 * R), True, 0.0),
+            ("h2h_b", "core.h2h.bias", (1, 5 * R), False, 0.0),
+            ("logit_w", "logit.weight", (R, Vpad), True, 0.0),
+            ("logit_b", "logit.bias", (1, Vpad), False, NEG),
+            ("embed", "embed.weight", (Vpad, E), False, 0.0),
+        )
+        self._offsets = {}
+        off = 0
+        for name, _, shape, _, _ in self.tensors:
+            self._offsets[name] = off
+            off += int(np.prod(shape))
+        self.dim_dec = off
+
+    # ---- flat torch order <-> flat decode order --------------------------------------
+
+    def to_dec(self, flat, pad_scale: float = 1.0) -> jax.Array:
+        """Flat torch-order vector -> flat decode-ordered padded f32.
+        ``pad_scale`` scales each tensor's pad value (1.0 for theta so the
+        padded logit bias lands at NEG; 0.0 for noise-scale vectors so pad
+        lanes draw zero-mean noise of harmless magnitude)."""
+        p = self.spec.unravel(flat)
+        parts = []
+        for _, leaf, shape, transposed, pad_val in self.tensors:
+            t = p[leaf]
+            if transposed:
+                t = t.T
+            t = t.reshape(-1)
+            parts.append(self._pad_tensor(t, leaf, shape, transposed,
+                                          pad_val * pad_scale))
+        return jnp.concatenate(parts)
+
+    def _pad_tensor(self, flat_t, leaf, shape, transposed, pad_val):
+        V1, Vpad = self.V1, self.Vpad
+        tgt = int(np.prod(shape))
+        if flat_t.size == tgt:
+            return flat_t
+        if shape[-1] == Vpad and transposed:  # logit_w (R, Vpad): pad cols
+            t = flat_t.reshape(shape[0], V1)
+            t = jnp.pad(t, ((0, 0), (0, Vpad - V1)),
+                        constant_values=pad_val)
+            return t.reshape(-1)
+        # logit_b (1, Vpad) / embed (Vpad, E): trailing pad
+        return jnp.concatenate([
+            flat_t,
+            jnp.full((tgt - flat_t.size,), pad_val, flat_t.dtype),
+        ])
+
+    def from_dec(self, flat_dec) -> jax.Array:
+        """Flat decode-ordered vector -> flat torch-order (pads dropped,
+        transposes undone). Linear; used once per generation to bring the
+        decode-space gradient back to optimizer order."""
+        shaped = {}
+        for name, leaf, shape, transposed, _ in self.tensors:
+            t = jax.lax.dynamic_slice_in_dim(
+                flat_dec, self._offsets[name], int(np.prod(shape))
+            ).reshape(shape)
+            V1, Vpad = self.V1, self.Vpad
+            if shape[-1] == Vpad and transposed:
+                t = t[:, :V1]
+            elif shape[0] == Vpad:
+                t = t[:V1]
+            elif shape == (1, Vpad):
+                t = t[:, :V1]
+            if transposed:
+                t = t.T
+            if shape[0] == 1:  # bias rows back to 1-D
+                t = t.reshape(-1)
+            shaped[leaf] = t
+        return jnp.concatenate(
+            [shaped[l.name].reshape(-1) for l in self.spec.leaves]
+        )
+
+    # ---- per-member prep --------------------------------------------------------------
+
+    def prep(self, vec_dec, dtype) -> dict:
+        """Flat decode-ordered member vector -> the params dict consumed by
+        decode_fused. Weights cast to ``dtype``, biases stay f32 — identical
+        tensor-for-tensor to prepare_decode_params(theta) when ``vec_dec`` is
+        ``to_dec(theta)`` (tested)."""
+        out = {}
+        for name, _, shape, _, _ in self.tensors:
+            t = jax.lax.dynamic_slice_in_dim(
+                vec_dec, self._offsets[name], int(np.prod(shape))
+            ).reshape(shape)
+            out[name] = (t.astype(jnp.float32) if shape[0] == 1
+                         else t.astype(dtype))
+        return out

@@ -97,6 +97,7 @@ class CocoTask(Task):
             and jax.default_backend() == "tpu"
         )
         self._fused = can_fuse if want == "auto" else bool(want)
+        self._fused_interpret = False  # tests flip this to run the kernel on CPU
         self._decode_dtype = (
             jnp.bfloat16 if tpu_cfg.precision == "bf16" else jnp.float32
         )
@@ -122,6 +123,15 @@ class CocoTask(Task):
             logger.info("building on-device CIDEr-D scorer "
                         "(%d train images)", len(self.train_gts))
             self._device_cider = DeviceCider(self.train_gts, variant="cider-d")
+
+        # decode-ordered layout: lets the NES engine move the per-member
+        # transpose/pad work off the eval hot path (ops/decode_layout.py);
+        # only meaningful with the fused kernel + on-device fitness
+        self.decode_layout = None
+        if self._fused and self._device_cider is not None:
+            from ..ops.decode_layout import DecodeLayout
+
+            self.decode_layout = DecodeLayout(self.spec, self.model.options)
 
     @property
     def fitness_on_device(self) -> bool:
@@ -182,6 +192,7 @@ class CocoTask(Task):
                 self._fused_params(theta), feats,
                 seq_length=self.model.options.seq_length,
                 need_logprobs=need_logprobs,
+                interpret=self._fused_interpret,
             )
         return self.model.sample(theta, feats, greedy=True)
 
@@ -204,6 +215,7 @@ class CocoTask(Task):
                     params, feats, greedy=False, seed=s.astype(jnp.int32),
                     seq_length=self.model.options.seq_length,
                     need_logprobs=need_logprobs,
+                    interpret=self._fused_interpret,
                 )
 
             seq, lp = jax.lax.map(one, seeds)  # (spi, B, T)
@@ -242,6 +254,54 @@ class CocoTask(Task):
                 self._wire_dtype
             )
         return art
+
+    def rollout_dec(self, vec_dec, idx, key=None):
+        """Rollout on a decode-ordered member vector (the NES engine's
+        layout fast path, ops/decode_layout.py): the per-member prep is
+        slice/reshape/cast only — the transposes were paid once per
+        generation by DecodeLayout.to_dec. Only reachable for the
+        device-scored kinds (greedy | sample | self_critical)."""
+        from ..ops.decode_pallas import decode_fused
+
+        params = self.decode_layout.prep(vec_dec, self._decode_dtype)
+        feats = self.train_fc[idx]
+        T = self.model.options.seq_length
+
+        def greedy():
+            return decode_fused(params, feats, seq_length=T,
+                                need_logprobs=False,
+                                interpret=self._fused_interpret)[0]
+
+        if self.fitness_kind == "greedy":
+            seq = greedy()
+        else:
+            if key is None:
+                key = jax.random.key(0)
+            spi = self.seq_per_img
+            seeds = jax.vmap(
+                lambda i: jax.random.bits(jax.random.fold_in(key, i))
+            )(jnp.arange(spi))
+            seq = jax.lax.map(
+                lambda s: decode_fused(
+                    params, feats, greedy=False, seed=s.astype(jnp.int32),
+                    seq_length=T, need_logprobs=False,
+                    interpret=self._fused_interpret,
+                )[0],
+                seeds,
+            )
+            B = feats.shape[0]
+            seq = jnp.swapaxes(seq, 0, 1).reshape(B * spi, seq.shape[-1])
+
+        B = idx.shape[0]
+        spi = seq.shape[0] // B
+        img = idx if spi == 1 else jnp.repeat(idx, spi)
+        scores = self._device_cider.score_rows(seq.astype(jnp.int32), img)
+        if self.fitness_kind in SELF_CRITICAL_KINDS:
+            base = self._device_cider.score_rows(
+                greedy().astype(jnp.int32), idx
+            )
+            scores = scores - jnp.repeat(base, spi)
+        return {"fitness": scores.mean() * 100.0}
 
     def _device_fitness(self, theta, feats, idx, seq):
         """On-chip fitness for the greedy/sample/self_critical kinds: scores

@@ -156,6 +156,40 @@ def test_layout_generation_matches_manual_replay(coco_task):
     np.testing.assert_allclose(float(ratio), float(ratio_exp), rtol=1e-4)
 
 
+def test_layout_generation_on_mesh_matches_unsharded(coco_task):
+    """The layout path must shard over the pop mesh like any other sweep:
+    fitnesses and the updated theta agree with the single-device run."""
+    from nes_img_captioning_tpu.algorithms.nes import NESEngine
+    from nes_img_captioning_tpu.algorithms.optimizers import Adam
+    from nes_img_captioning_tpu.ops.mutation import MutationKind
+    from nes_img_captioning_tpu.parallel.mesh import make_mesh
+
+    task = coco_task
+    theta = task.generate_theta(jax.random.PRNGKey(7))
+    sens = jnp.ones((task.spec.num_params,), jnp.float32)
+    rng = np.random.default_rng(8)
+    F, B = 6, 4  # F=6 on 8 devices: 2 pad lanes
+    seeds = rng.integers(0, 2**32, size=F, dtype=np.uint32)
+    idx = rng.integers(0, 12, size=(F, B)).astype(np.int32)
+
+    results = {}
+    for name, mesh in (("mesh", make_mesh()), ("plain", None)):
+        eng = NESEngine(task, Adam(0.01), MutationKind.DEFAULT, mesh=mesh,
+                        pop_chunk=4)
+        assert eng._layout is not None
+        th, _, packed = eng.generation(
+            theta, eng.optimizer.init(eng.dim), sens, 0.05, seeds, idx,
+            0.01, 1e-3,
+        )
+        fits, _, _ = eng.unpack(packed, F)
+        results[name] = (fits, np.asarray(th))
+
+    np.testing.assert_allclose(results["mesh"][0], results["plain"][0],
+                               rtol=1e-6)
+    np.testing.assert_allclose(results["mesh"][1], results["plain"][1],
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_layout_block_trajectory_exact(coco_task):
     """gens_per_dispatch blocks must stay trajectory-exact on the layout
     path: 2 chained generations == 2 sequential single dispatches."""

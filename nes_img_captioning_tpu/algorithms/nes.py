@@ -639,7 +639,14 @@ class NESMaster:
             # a snapshot writes the post-update theta of its generation:
             # end the block exactly on the snapshot iteration
             b = min(b, self._gap_to_next(nxt - 1, self.config.snapshot_freq))
-        return max(b, 1)
+        b = max(b, 1)
+        # round down to a power of two: every distinct block size K is a
+        # separate XLA program (a cold compile costs minutes on this
+        # harness), so misaligned val/snapshot cadences must not generate
+        # K = 7, 5, 3, ... one-off programs — the set is bounded at
+        # {1, 2, 4, ..., gens_per_dispatch} and trajectories are unaffected
+        # (block size never changes the math, tested)
+        return 1 << (b.bit_length() - 1)
 
     def _record_eval(self, eval_score):
         """Eval-result + podium bookkeeping. MUST run while self.theta is

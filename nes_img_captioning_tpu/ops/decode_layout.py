@@ -56,22 +56,24 @@ class DecodeLayout:
                    options.fc_feat_size)
         self.spec = spec
         self.V1, self.Vpad = V1, Vpad
-        # (decode name, source leaf, decode shape, transposed?, pad value)
-        # biases are stored flat; prep reshapes them to the kernel's (1, N)
+        # (decode name, source leaf, decode shape, transposed?, pad value,
+        #  pad axis) — pad axis None = unpadded; 0/1 = the vocab axis padded
+        # from V1 to Vpad. Biases are stored flat; prep reshapes them to the
+        # kernel's (1, N) layout.
         self.tensors = (
-            ("img_w", "img_embed.weight", (F, E), True, 0.0),
-            ("img_b", "img_embed.bias", (1, E), False, 0.0),
-            ("i2h_w", "core.i2h.weight", (E, 5 * R), True, 0.0),
-            ("i2h_b", "core.i2h.bias", (1, 5 * R), False, 0.0),
-            ("h2h_w", "core.h2h.weight", (R, 5 * R), True, 0.0),
-            ("h2h_b", "core.h2h.bias", (1, 5 * R), False, 0.0),
-            ("logit_w", "logit.weight", (R, Vpad), True, 0.0),
-            ("logit_b", "logit.bias", (1, Vpad), False, NEG),
-            ("embed", "embed.weight", (Vpad, E), False, 0.0),
+            ("img_w", "img_embed.weight", (F, E), True, 0.0, None),
+            ("img_b", "img_embed.bias", (1, E), False, 0.0, None),
+            ("i2h_w", "core.i2h.weight", (E, 5 * R), True, 0.0, None),
+            ("i2h_b", "core.i2h.bias", (1, 5 * R), False, 0.0, None),
+            ("h2h_w", "core.h2h.weight", (R, 5 * R), True, 0.0, None),
+            ("h2h_b", "core.h2h.bias", (1, 5 * R), False, 0.0, None),
+            ("logit_w", "logit.weight", (R, Vpad), True, 0.0, 1),
+            ("logit_b", "logit.bias", (1, Vpad), False, NEG, 1),
+            ("embed", "embed.weight", (Vpad, E), False, 0.0, 0),
         )
         self._offsets = {}
         off = 0
-        for name, _, shape, _, _ in self.tensors:
+        for name, _, shape, *_ in self.tensors:
             self._offsets[name] = off
             off += int(np.prod(shape))
         self.dim_dec = off
@@ -85,50 +87,34 @@ class DecodeLayout:
         lanes draw zero-mean noise of harmless magnitude)."""
         p = self.spec.unravel(flat)
         parts = []
-        for _, leaf, shape, transposed, pad_val in self.tensors:
+        for _, leaf, shape, transposed, pad_val, pad_axis in self.tensors:
             t = p[leaf]
             if transposed:
                 t = t.T
-            t = t.reshape(-1)
-            parts.append(self._pad_tensor(t, leaf, shape, transposed,
-                                          pad_val * pad_scale))
+            if pad_axis is not None:
+                t = t.reshape(shape[0] if pad_axis == 1 else self.V1, -1)
+                width = [(0, 0), (0, 0)]
+                width[pad_axis] = (0, self.Vpad - self.V1)
+                t = jnp.pad(t, width, constant_values=pad_val * pad_scale)
+            parts.append(t.reshape(-1))
         return jnp.concatenate(parts)
-
-    def _pad_tensor(self, flat_t, leaf, shape, transposed, pad_val):
-        V1, Vpad = self.V1, self.Vpad
-        tgt = int(np.prod(shape))
-        if flat_t.size == tgt:
-            return flat_t
-        if shape[-1] == Vpad and transposed:  # logit_w (R, Vpad): pad cols
-            t = flat_t.reshape(shape[0], V1)
-            t = jnp.pad(t, ((0, 0), (0, Vpad - V1)),
-                        constant_values=pad_val)
-            return t.reshape(-1)
-        # logit_b (1, Vpad) / embed (Vpad, E): trailing pad
-        return jnp.concatenate([
-            flat_t,
-            jnp.full((tgt - flat_t.size,), pad_val, flat_t.dtype),
-        ])
 
     def from_dec(self, flat_dec) -> jax.Array:
         """Flat decode-ordered vector -> flat torch-order (pads dropped,
         transposes undone). Linear; used once per generation to bring the
         decode-space gradient back to optimizer order."""
         shaped = {}
-        for name, leaf, shape, transposed, _ in self.tensors:
+        for name, leaf, shape, transposed, _, pad_axis in self.tensors:
             t = jax.lax.dynamic_slice_in_dim(
                 flat_dec, self._offsets[name], int(np.prod(shape))
             ).reshape(shape)
-            V1, Vpad = self.V1, self.Vpad
-            if shape[-1] == Vpad and transposed:
-                t = t[:, :V1]
-            elif shape[0] == Vpad:
-                t = t[:V1]
-            elif shape == (1, Vpad):
-                t = t[:, :V1]
+            if pad_axis == 1:
+                t = t[:, : self.V1]
+            elif pad_axis == 0:
+                t = t[: self.V1]
             if transposed:
                 t = t.T
-            if shape[0] == 1:  # bias rows back to 1-D
+            if name.endswith("_b"):  # bias rows back to 1-D
                 t = t.reshape(-1)
             shaped[leaf] = t
         return jnp.concatenate(
@@ -143,10 +129,10 @@ class DecodeLayout:
         tensor-for-tensor to prepare_decode_params(theta) when ``vec_dec`` is
         ``to_dec(theta)`` (tested)."""
         out = {}
-        for name, _, shape, _, _ in self.tensors:
+        for name, _, shape, *_ in self.tensors:
             t = jax.lax.dynamic_slice_in_dim(
                 vec_dec, self._offsets[name], int(np.prod(shape))
             ).reshape(shape)
-            out[name] = (t.astype(jnp.float32) if shape[0] == 1
+            out[name] = (t.astype(jnp.float32) if name.endswith("_b")
                          else t.astype(dtype))
         return out

@@ -1,0 +1,126 @@
+"""Extended learning-behavior run on the real chip: XENT warm start + NES
+with the reference's mscoco_nes hyperparameters (sigma 0.01, Adam 0.001,
+pop 288, batch 128, greedy CIDEr-D fitness) on the synthetic 8192-image
+fixture at real model dimensions, driven through the REAL master loop
+(validation, podium, annealing bookkeeping all live).
+
+Round-1 evidence stopped at 200 generations (val CIDEr 0.0031 -> 0.0187);
+the decode-layout engine makes longer horizons cheap. Results land in
+docs/RESULTS.md.
+
+Usage: python scripts/train_synthetic_nes.py [--gens 1000] [--xent-steps 500]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--gens", type=int, default=1000)
+    parser.add_argument("--xent-steps", type=int, default=500)
+    parser.add_argument("--pop", type=int, default=288)  # offspring evals
+    parser.add_argument("--batch", type=int, default=128)
+    parser.add_argument("--val-freq", type=int, default=25)
+    parser.add_argument("--data", type=str, default="/tmp/nes_train_data")
+    parser.add_argument("--out", type=str, default="/tmp/nes_train_run")
+    args = parser.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from nes_img_captioning_tpu.algorithms.nes import NESMaster
+    from nes_img_captioning_tpu.data.synthetic import make_synthetic_coco
+    from nes_img_captioning_tpu.pretrain import pretrain_xent
+    from nes_img_captioning_tpu.tasks import make_task
+    from nes_img_captioning_tpu.utils.config import (
+        Config,
+        parse_config,
+        parse_tpu_config,
+    )
+    from nes_img_captioning_tpu.utils.logger import setup_logging
+
+    setup_logging()
+
+    if not os.path.isfile(os.path.join(args.data, "cocotalk.json")):
+        make_synthetic_coco(args.data, n_train=8192, n_val=512, n_test=512,
+                            vocab_size=9487, fc_feat_size=2048, cap_len=9,
+                            seed=0)
+    copts = {
+        "input_json": os.path.join(args.data, "cocotalk.json"),
+        "input_label_h5": os.path.join(args.data, "cocotalk_label.h5"),
+        "input_fc_dir": os.path.join(args.data, "fc"),
+    }
+
+    exp = {
+        "algorithm": "nic_nes",
+        "dataset": "mscoco",
+        "nb_offspring": args.pop,
+        "num_elites": 1,
+        "config": {
+            "noise_stdev": 0.01, "batch_size": args.batch,
+            "val_batch_size": 256, "num_val_items": 512,
+            "patience": 0, "schedule_start": 10**9, "schedule_limit": 0,
+            "stdev_divisor": 1, "bs_multiplier": 1, "stepsize_divisor": 1,
+            "l2coeff": 1e-7, "single_batch": False, "snapshot_freq": 0,
+        },
+        "policy_options": {
+            "net": "fc_caption", "fitness": "greedy",
+            "model_options": {},
+        },
+        "optimizer_options": {"type": "adam", "args": {"stepsize": 0.001}},
+        "caption_options": copts,
+        "tpu": {"seed": 0, "pop_chunk": 48, "precision": "bf16",
+                "rng_impl": "rbg", "gens_per_dispatch": 8,
+                "val_freq": args.val_freq},
+        "log_dir": args.out,
+    }
+
+    # XENT warm start (the reference's external bu_xent_09.pth role)
+    pre_path = os.path.join(args.data, f"xent_{args.xent_steps}.pth")
+    if not os.path.isfile(pre_path):
+        task = make_task(exp, parse_config(exp), parse_tpu_config(exp))
+        t0 = time.time()
+        theta = pretrain_xent(task, steps=args.xent_steps, lr=5e-4,
+                              batch_size=64, seed=0)
+        task.spec.save_pth(np.asarray(theta), pre_path)
+        log(f"XENT pretrain {args.xent_steps} steps: {time.time() - t0:.0f}s")
+    exp["from_single"] = pre_path
+
+    master = NESMaster(exp)
+    t0 = time.time()
+    master.run_master(max_iterations=args.gens)
+    wall = time.time() - t0
+
+    acc = master.stats.acc_stats()
+    fits = master.stats.score_stats()[2]  # max series
+    out = {
+        "generations": len(acc),
+        "wall_s": round(wall, 1),
+        "val_cider_first": acc[0],
+        "val_cider_last": acc[-1],
+        "val_cider_best": max(acc),
+        "val_curve_every_50": [round(v, 4) for v in acc[::50]],
+        "train_fit_first": fits[0],
+        "train_fit_last": fits[-1],
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

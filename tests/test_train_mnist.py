@@ -207,6 +207,36 @@ def test_gens_per_dispatch_block_matches_per_gen(tmp_path):
         )
 
 
+def test_block_sizes_are_powers_of_two(tmp_path):
+    """Misaligned val/snapshot cadences must not generate one-off block
+    sizes (every distinct K is a separate XLA program; a cold compile costs
+    minutes on the TPU harness): _block_budget rounds down to powers of
+    two, and cadence events still land on block boundaries."""
+    from nes_img_captioning_tpu.algorithms.nes import NESMaster
+
+    exp = _mnist_exp("nic_nes", str(tmp_path / "run"),
+                     tpu={"gens_per_dispatch": 8, "val_freq": 20})
+    exp["config"]["snapshot_freq"] = 0
+    exp["config"]["patience"] = 0
+    master = NESMaster(exp)
+
+    budgets = []
+    orig = master._block_budget
+
+    def spy(*a, **k):
+        b = orig(*a, **k)
+        budgets.append(b)
+        return b
+
+    master._block_budget = spy
+    master.run_master(max_iterations=24)
+    assert sum(budgets) == 24
+    assert all(b & (b - 1) == 0 for b in budgets), budgets  # powers of two
+    assert 8 in budgets  # the cap is actually reached
+    # the val_freq=20 boundary forces sub-maximal blocks at 13..16 / 17..18
+    assert any(b < 8 for b in budgets), budgets
+
+
 def test_es_safe_mutations_end_to_end(tmp_path):
     """NIC-ES with SM-G-SUM: the per-parent sensitivity matrix is rebuilt
     each generation by the fused lax.map sweep and shapes the mutations

@@ -97,7 +97,8 @@ class Iteration:
             "bad_generations": self._generations_without_improvement,
             "times_orig_bs": self._curriculum.times_orig_bs,
             "nb_samples_used": self._nb_samples_used,
-            "best_elites": self.best_elites(),
+            # only the filled slots: the z_info schema stores real files
+            "best_elites": [e for e in self.best_elites() if e[0]],
             **self.extra_state,
         }
 

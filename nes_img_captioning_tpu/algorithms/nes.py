@@ -438,7 +438,6 @@ class NESMaster:
         seed = self.tpu_cfg.seed
         self._rng = np.random.default_rng(seed)
         self._last_eval = None
-        self._model_written = False
         self._init_theta(exp)
         self._sampler = None  # built lazily; rebuilt on annealing
 
@@ -508,7 +507,6 @@ class NESMaster:
     def _write_current_model(self):
         remove_all_files_from_dir(self._current_dir)
         self.task.spec.save_pth(np.asarray(self.theta), self._current_path)
-        self._model_written = True
         # NES checkpoint state (reference: nic_nes/iteration.py:37-41)
         self.it.extra_state = {"current_model": self._current_path}
 
@@ -606,16 +604,20 @@ class NESMaster:
         if not fused or b == 1:
             return 1
         if self.config.patience:
-            logger.warning(
-                "gens_per_dispatch>1 requires patience=0 (patience may "
-                "anneal sigma mid-block); driving per-generation")
+            if not getattr(self, "_block_warned", False):
+                self._block_warned = True  # once, not every iteration
+                logger.warning(
+                    "gens_per_dispatch>1 requires patience=0 (patience may "
+                    "anneal sigma mid-block); driving per-generation")
             return 1
         if self.mutation in (MutationKind.SAFE_GRAD_SUM,
                              MutationKind.SAFE_GRAD_ABS):
-            logger.warning(
-                "gens_per_dispatch>1 is incompatible with SM-G-* (the "
-                "sensitivity is recomputed from each generation's theta); "
-                "driving per-generation")
+            if not getattr(self, "_block_warned", False):
+                self._block_warned = True
+                logger.warning(
+                    "gens_per_dispatch>1 is incompatible with SM-G-* (the "
+                    "sensitivity is recomputed from each generation's "
+                    "theta); driving per-generation")
             return 1
         nxt = self.it.iteration() + 1  # the block's first iteration
         if self.config.schedule_limit and self._gap_to_next(
@@ -648,14 +650,22 @@ class NESMaster:
         # (block size never changes the math, tested)
         return 1 << (b.bit_length() - 1)
 
-    def _record_eval(self, eval_score):
+    def _record_eval(self, eval_score, fresh: bool = True):
         """Eval-result + podium bookkeeping. MUST run while self.theta is
         the pre-update model of the generation the score belongs to: the
         podium copies the current-model file immediately, and the reference
         pairs eval scores with the pre-update .pth (nic_nes_worker.py:92-113).
-        Within a chained block only the first generation can enter the
-        podium (a carried score ties and ties keep incumbents), so interior
-        calls never write a stale file."""
+
+        ``fresh=False`` (interior chained-block generations, where the score
+        is carried from the block-start validation and self.theta has
+        already advanced): record the eval for bookkeeping but do NOT
+        submit to the podium — one submission per validation, and a
+        submission here could pair the carried score with post-block theta
+        bytes whenever the scoreboard has open capacity. Patience is
+        guaranteed off on the block path, so skipping its trigger is safe."""
+        if not fresh:
+            self.it.record_eval_result(0, self._current_path, eval_score)
+            return
         if self._podium_would_take(eval_score):
             self._write_current_model()
         self.it.record_eval_result(0, self._current_path, eval_score)
@@ -749,14 +759,17 @@ class NESMaster:
                     fits_all, ratios, norms = self.engine.unpack(packs, F)
                     block_dt = time.time() - t_block
                     self.theta, self.opt_state = new_theta, new_opt_state
-                    self._model_written = False
+                    # must precede _record_stats: a snapshot serializes
+                    # experiment.opt_state next to the post-update theta
+                    # (blocks end exactly on snapshot iterations)
+                    self.experiment.opt_state = self.opt_state
                     for k in range(b):
                         if k:
                             it.incr_iteration()
                             logger.info("********** Iteration %d (chained) "
                                         "**********", it.iteration())
-                            self._record_eval(eval_score)  # carried score;
-                            # ties keep incumbents, no file writes happen
+                            # carried score: bookkeeping only, no podium
+                            self._record_eval(eval_score, fresh=False)
                         self._record_stats(
                             fits_all[k], ratios[k], [norms[k]], eval_score,
                             block_dt / b, plot,
@@ -768,12 +781,11 @@ class NESMaster:
                         fitnesses, self.optimizer.stepsize,
                         config.l2coeff or 0.0, deltas=deltas,
                     )
-                    self._model_written = False
+                    self.experiment.opt_state = self.opt_state  # pre-snapshot
                     self._record_stats(
                         fitnesses, ratio, np.asarray(self.theta), eval_score,
                         time.time() - t_block, plot,
                     )
-                self.experiment.opt_state = self.opt_state
 
                 if it.patience_reached() or it.schedule_reached():
                     if config.stepsize_divisor:

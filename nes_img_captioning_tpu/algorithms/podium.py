@@ -45,15 +45,23 @@ class Podium:
     def _slot_path(self, rank: int) -> str:
         return os.path.join(self._dir, self.SLOT_NAME.format(rank=rank))
 
+    def _pad(self, slots: list) -> list:
+        """The scoreboard ALWAYS holds exactly ``capacity`` entries (unfilled
+        = _EMPTY_SLOT): callers like NESMaster._podium_would_take decide
+        whether a score would enter by looking at the slots, so a shrunken
+        list would make a below-capacity scoreboard look full."""
+        return slots + [_EMPTY_SLOT] * (self._capacity - len(slots))
+
     def init_from_infos(self, infos: dict):
         """Resume: re-home every checkpointed elite file into this run's
-        slot layout (scores carry over verbatim)."""
+        slot layout (scores carry over verbatim; checkpoints store only the
+        filled slots)."""
         restored = []
         for rank, (src, score) in enumerate(infos["best_elites"]):
             dst = self._slot_path(rank)
             copy_file_from_to(src, dst)
             restored.append((dst, score))
-        self._slots = restored
+        self._slots = self._pad(restored)
 
     def record_elites(self, elites_and_scores):
         """Merge candidates into the scoreboard. Stable sort with incumbents
@@ -92,7 +100,7 @@ class Podium:
         for tmp, dst in staged:
             os.replace(tmp, dst)
 
-        self._slots = survivors
+        self._slots = self._pad(survivors)
         remove_all_files_but(self._dir, [p for p, _ in survivors])
 
     def is_bad_generation(self) -> bool:

@@ -131,7 +131,11 @@ class Statistics:
         for label, series in rows:
             if series:
                 log(label, series[-1])
-        log("TimeElapsedThisIter", time.time() - self._step_tstart)
+        # the recorded per-generation dt, not wall time since tstart —
+        # chained-block generations share one tstart but record block_dt/b
+        log("TimeElapsedThisIter",
+            self._time_stats[-1] if self._time_stats
+            else time.time() - self._step_tstart)
         log("TimeElapsed", self._time_elapsed)
         if self._mem_stats[1]:
             log("MemUsage", self._mem_stats[1][-1])

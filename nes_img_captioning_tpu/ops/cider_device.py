@@ -204,22 +204,46 @@ class DeviceCider:
         hi = np.where(valid, hi, -3)
 
         # per-ref per-order norms: ||g_n(r)||^2 = sum_j tf_j * idf_j^2 over
-        # windows (each unique n-gram counted tf times)
-        idf = np.full(flat.shape[0] * W, self.ref_len, np.float32)
-        pairs = np.stack([lo.reshape(-1), hi.reshape(-1)], axis=1)
-        uniq, inv = np.unique(pairs, axis=0, return_inverse=True)
+        # windows (each unique n-gram counted tf times). idf lookup goes
+        # through one int64 key (np.unique on a 1-D array, not axis=0 rows);
+        # tf compares run per order and in row chunks — the old dense
+        # (N_rows, W, W) boolean cross was ~2e9 elements per temporary at
+        # real mscoco scale (~566k ref rows), several GB of host RAM.
+        key = (lo.astype(np.int64) << 32) | (
+            hi.astype(np.int64) & 0xFFFFFFFF
+        )
+        uniq, inv = np.unique(key, return_inverse=True)
         uvals = np.asarray(
-            [idf_by_key.get((int(a), int(b)), self.ref_len) for a, b in uniq],
+            [
+                idf_by_key.get(
+                    (int(np.int32(k >> 32)), int(np.int32(k & 0xFFFFFFFF))),
+                    self.ref_len,
+                )
+                for k in uniq
+            ],
             np.float32,
         )
         idf = uvals[inv].reshape(flat.shape[0], W)
-        tf = (
-            (lo[:, :, None] == lo[:, None, :])
-            & (hi[:, :, None] == hi[:, None, :])
-            & valid[:, None, :]
-        ).sum(axis=2)
-        onehot = (orders[:, None] == np.arange(1, self.n + 1)[None, :])
-        norm2 = ((tf * idf * idf * valid)[:, :, None] * onehot[None]).sum(axis=1)
+
+        norm2 = np.zeros((flat.shape[0], self.n), np.float32)
+        CH = 8192
+        off = 0
+        for ni in range(1, self.n + 1):
+            w = T - ni + 1
+            sl = slice(off, off + w)
+            off += w
+            for s in range(0, flat.shape[0], CH):
+                e = min(s + CH, flat.shape[0])
+                lo_n, hi_n = lo[s:e, sl], hi[s:e, sl]
+                valid_n = valid[s:e, sl]
+                tf = (
+                    (lo_n[:, :, None] == lo_n[:, None, :])
+                    & (hi_n[:, :, None] == hi_n[:, None, :])
+                    & valid_n[:, None, :]
+                ).sum(axis=2)
+                norm2[s:e, ni - 1] = (
+                    tf * idf[s:e, sl] ** 2 * valid_n
+                ).sum(axis=1)
 
         import jax.numpy as jnp
 

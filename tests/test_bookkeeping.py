@@ -50,6 +50,22 @@ class TestPodium:
         # copy fails -> logged, stays bad
         assert pod.is_bad_generation()
 
+    def test_scoreboard_always_capacity_sized(self, tmp_path):
+        """Below capacity, unfilled slots must stay visible as empty —
+        NESMaster._podium_would_take decides whether to rewrite the
+        current-model file by looking at the slots, so a shrunken list
+        would archive stale bytes under a lower score."""
+        pod = Podium(patience=0, directory=str(tmp_path), num_elites=2)
+        assert len(pod.best_elites()) == 2
+        a = _touch(str(tmp_path / "a.pth"))
+        pod.record_elites([(a, 0.6)])
+        slots = pod.best_elites()
+        assert len(slots) == 2
+        assert slots[0][1] == 0.6
+        assert not slots[1][0]  # second slot visibly empty
+        # the would-take predicate (mirrors NESMaster._podium_would_take)
+        assert any((not p) or 0.55 > s for p, s in slots)
+
 
 class TestStatistics:
     def test_roundtrip(self):

@@ -50,7 +50,8 @@ def test_language_eval_dict_shape():
     for k in ("Bleu_1", "Bleu_4", "ROUGE_L", "CIDEr", "METEOR", "SPICE"):
         assert k in out
     assert out["CIDEr"] > 0
-    assert out["METEOR"] is None  # Java-based, intentionally absent
+    assert 0.0 < out["METEOR"] <= 1.0  # native scorer (fitness/meteor.py)
+    assert out["SPICE"] is None  # external scene-graph parser, absent
 
 
 def test_eval_on_test(tmp_path):

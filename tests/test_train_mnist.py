@@ -207,6 +207,39 @@ def test_gens_per_dispatch_block_matches_per_gen(tmp_path):
         )
 
 
+def test_snapshot_pairs_current_opt_state(tmp_path, monkeypatch):
+    """Every snapshot must serialize the optimizer state of the SAME
+    generation as the theta it references — a mid-run z_info pairing
+    post-update theta with the previous generation's Adam moments breaks
+    the resume round-trip."""
+    from nes_img_captioning_tpu.algorithms import nes as nes_mod
+    from nes_img_captioning_tpu.algorithms.nes import NESMaster
+
+    exp = _mnist_exp("nic_nes", str(tmp_path / "run"))
+    exp["config"]["snapshot_freq"] = 2
+    master = NESMaster(exp)
+
+    import jax
+
+    mismatches = []
+    orig = nes_mod.save_snapshot
+
+    def spy(stats, it, experiment):
+        xs = jax.tree_util.tree_leaves(experiment.opt_state)
+        ys = jax.tree_util.tree_leaves(master.opt_state)
+        same = len(xs) == len(ys) and all(
+            np.array_equal(np.asarray(a), np.asarray(b))
+            for a, b in zip(xs, ys)
+        )
+        if not same:
+            mismatches.append(it.iteration())
+        return orig(stats, it, experiment)
+
+    monkeypatch.setattr(nes_mod, "save_snapshot", spy)
+    master.run_master(max_iterations=5)  # snapshots at 2, 4 and run end
+    assert not mismatches, f"stale opt_state at iterations {mismatches}"
+
+
 def test_block_sizes_are_powers_of_two(tmp_path):
     """Misaligned val/snapshot cadences must not generate one-off block
     sizes (every distinct K is a separate XLA program; a cold compile costs

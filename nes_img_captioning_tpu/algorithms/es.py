@@ -63,12 +63,24 @@ class ESEngine(PopulationEngine):
 
     # ---- device fns ------------------------------------------------------------------
 
+    @staticmethod
+    def _select_row(mat, i):
+        """Row i of (P, dim) mat as a one-hot matvec: dynamic row indexing
+        under vmap lowers to a TPU gather that measured ~1 ms PER OFFSPRING
+        (dominating the whole eval sweep); the (1, P) @ (P, dim) matvec
+        rides the MXU. HIGHEST precision = exact 3-way bf16 splits, so the
+        selected row is bitwise the stored row (a single 1.0 against
+        zeros) — eval and materialize stay bit-consistent."""
+        oh = jax.nn.one_hot(i, mat.shape[0], dtype=mat.dtype)
+        return jnp.matmul(oh, mat, precision=jax.lax.Precision.HIGHEST)
+
     def _child(self, parents_mat, sens_mat, sigma, seed, pi, si):
-        parent = parents_mat[pi]
+        parent = self._select_row(parents_mat, pi)
         noise = gaussian_noise(self._mk_key(seed), self.dim, sigma)
         delta = shape_noise(
             noise, parent,
-            sensitivity=sens_mat[si] if self.mutation.is_safe else None,
+            sensitivity=(self._select_row(sens_mat, si)
+                         if self.mutation.is_safe else None),
             proportional=self.mutation.is_proportional,
         )
         return parent + delta

@@ -66,7 +66,10 @@ def main():
         },
         "policy_options": {"fitness": "greedy", "model_options": {}},
     }
-    task = CocoTask(exp, Config(batch_size=BATCH), TpuConfig(seed=0))
+    # bf16 rollout = the production precision (bench.py, mscoco_*.json);
+    # the sensitivity sweep autodiffs in f32 regardless
+    task = CocoTask(exp, Config(batch_size=BATCH),
+                    TpuConfig(seed=0, precision="bf16"))
     dim = task.spec.num_params
     log(f"fc_caption: {dim:,} params; mu={MU}, lambda={LAMBDA}, batch={BATCH}")
 

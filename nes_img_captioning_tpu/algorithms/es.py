@@ -357,6 +357,7 @@ class ESMaster:
         self._sens_mat = calc_sensitivities(
             self.task, self.parents_mat, np.asarray(idx_row, np.int32),
             self.mutation, self._underflow,
+            matmul_precision=self.tpu_cfg.sensitivity_precision,
         )
 
     def _profile_hook(self, iteration: int):

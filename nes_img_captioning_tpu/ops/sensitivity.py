@@ -62,18 +62,23 @@ def _abs_sens(forward, theta, idx):
     return jnp.sqrt((J**2).sum(0))
 
 
-@partial(jax.jit, static_argnums=(0,))
-def _sum_sens_many(forward, thetas, idx):
+@partial(jax.jit, static_argnums=(0, 3))
+def _sum_sens_many(forward, thetas, idx, matmul_precision: str = "float32"):
     """SM-G-SUM for a whole (P, dim) parent matrix in ONE program: lax.map
     runs the parents sequentially so only one (K, dim) Jacobian is live at a
     time (~K*dim*4 bytes), while the single dispatch amortizes the ~100 ms
     per-program-launch wall cost this harness pays — the per-parent-call
-    version spent P launches per ES generation."""
+    version spent P launches per ES generation.
+
+    ``matmul_precision``: MXU precision for the forward/VJP dots. The sweep
+    is MXU-bound; "bfloat16" runs it ~3x faster at ~1e-2 relative error on
+    the sensitivities (a noise-scaling heuristic — see tpu.sensitivity_precision)."""
     batch = forward(thetas[0], idx).shape[0]
 
     def one(theta):
-        J = jax.jacrev(lambda th: forward(th, idx).sum(0))(theta)
-        return jnp.sqrt((J**2).sum(0)) / batch
+        with jax.default_matmul_precision(matmul_precision):
+            J = jax.jacrev(lambda th: forward(th, idx).sum(0))(theta)
+        return jnp.sqrt((J.astype(jnp.float32) ** 2).sum(0)) / batch
 
     return jax.lax.map(one, thetas)
 
@@ -96,14 +101,17 @@ def _abs_sens_scan(forward, theta, idx):
     return jnp.sqrt(((acc / B) ** 2).sum(0))
 
 
-def calc_sensitivities(task, thetas, idx, kind: MutationKind, underflow: float):
+def calc_sensitivities(task, thetas, idx, kind: MutationKind, underflow: float,
+                       matmul_precision: str = "float32"):
     """Per-parent sensitivity rows (P, dim) for a stacked parent matrix —
     the NIC-ES per-(task, parent) cache of the reference
     (safe_mutations.py:34-84) collapsed into one jitted sweep per
-    generation."""
+    generation. ``matmul_precision`` per tpu.sensitivity_precision."""
     forward = task.sensitivity_forward
     if kind is MutationKind.SAFE_GRAD_SUM:
-        return _postprocess(_sum_sens_many(forward, thetas, idx), underflow)
+        return _postprocess(
+            _sum_sens_many(forward, thetas, idx, matmul_precision), underflow
+        )
     if kind is MutationKind.SAFE_GRAD_ABS:
         return _postprocess(_abs_sens_many(forward, thetas, idx), underflow)
     raise ValueError(f"no gradient sensitivity for {kind}")

@@ -59,6 +59,10 @@ class TpuConfig:
     fused_decode: object = "auto"  # Pallas greedy decode: "auto" | True | False
     val_freq: int = 1  # validate every k generations (1 = reference parity)
     device_cider: object = "auto"  # on-chip CIDEr-D fitness: "auto" | True | False
+    # MXU precision of the SM-G-SUM Jacobian sweep: "float32" (reference
+    # parity, default) | "bfloat16" (~3x faster, ~1e-2 relative error on a
+    # noise-scaling heuristic). ES-only hot path; see docs/RESULTS.md.
+    sensitivity_precision: str = "float32"
     # generations chained per device dispatch (fused fitness path only; one
     # dispatch costs ~100 ms through a tunneled chip, dwarfing ~20 ms of
     # compute). >1 requires patience=0; blocks never span validation,

@@ -176,6 +176,27 @@ def test_fused_generation_matches_two_phase():
     np.testing.assert_allclose(float(ratio_a), float(ratio_b), rtol=1e-5)
 
 
+def test_sensitivity_precision_knob_plumbs():
+    """tpu.sensitivity_precision selects the Jacobian matmul precision; on
+    CPU the context is a no-op, so both settings must agree exactly (the
+    on-chip accuracy/speed tradeoff is measured in docs/RESULTS.md)."""
+    from nes_img_captioning_tpu.ops.mutation import MutationKind
+    from nes_img_captioning_tpu.ops.sensitivity import calc_sensitivities
+
+    task = _mnist_task()
+    thetas = jnp.stack([task.generate_theta(jax.random.PRNGKey(i))
+                        for i in range(2)])
+    idx = jnp.asarray(np.arange(4, dtype=np.int32))
+    a = np.asarray(calc_sensitivities(
+        task, thetas, idx, MutationKind.SAFE_GRAD_SUM, 0.01,
+        matmul_precision="float32"))
+    b = np.asarray(calc_sensitivities(
+        task, thetas, idx, MutationKind.SAFE_GRAD_SUM, 0.01,
+        matmul_precision="bfloat16"))
+    assert np.isfinite(b).all() and b.min() >= 1.0
+    np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
 def test_batched_sensitivities_match_per_parent():
     """The fused per-parent sensitivity sweep (one lax.map program) must
     reproduce the per-parent calc_sensitivity calls exactly, for both

@@ -6,6 +6,13 @@ Replaces what the reference proves with its Redis TCP + shared-FS transport
 (reference: src/dist.py:33-65, src/scripts/local_run_exp.pbs): work spans
 processes, every process stays in lockstep, and only the primary writes the
 run's artifacts.
+
+Known flake mode on this 1-core harness: when ANOTHER process is hogging
+the host (a concurrent TPU training run, a second pytest), one of the two
+subprocesses can starve long enough to miss jax.distributed's shutdown
+barrier and die with a DEADLINE_EXCEEDED/CoordinationServiceError. Both
+tests pass reliably on a quiet machine; rerun alone before suspecting the
+multihost wiring.
 """
 
 import json

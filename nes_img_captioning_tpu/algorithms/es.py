@@ -194,6 +194,11 @@ class ESMaster:
 
         self._rng = np.random.default_rng(self.tpu_cfg.seed)
         self._theta_cache: dict = {}
+        # device-resident thetas of the current elite candidates, keyed by
+        # their .pth path: the files are the podium/checkpoint surface, but
+        # re-reading + re-uploading 11.6 MB per candidate per generation
+        # costs seconds through this harness's ~25 MB/s tunnel
+        self._cand_thetas: dict = {}
         # parents: device matrix (P, dim) or None for the fresh generation 0;
         # podium-elite rows are tracked by path for z_info interop
         self.parents_mat = None
@@ -292,6 +297,7 @@ class ESMaster:
                 path = self._elite_path_tpl.format(i=i)
                 spec.save_pth(np.asarray(cands[i]), path)
                 self.elites_to_evaluate.append((i, path))
+                self._cand_thetas[path] = cands[i]
             self.policy_theta = cands[0]
 
     def _set_parents(self, mat, paths: list):
@@ -325,6 +331,23 @@ class ESMaster:
         theta = self.task.spec.load_pth(path)
         self._theta_cache[path] = (mtime, theta)
         return theta
+
+    def _device_elite_rows(self, elite_paths: list):
+        """Stacked podium-elite rows as a device array, re-uploaded only
+        when a podium file actually changed (an 11.6 MB host->device upload
+        per elite per generation costs ~0.5 s through this harness's
+        tunnel). Returns None when the podium is empty."""
+        if not elite_paths:
+            return None
+        key = tuple((p, os.path.getmtime(p)) for p in elite_paths)
+        cached = getattr(self, "_elite_rows_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        rows = jnp.asarray(
+            np.stack([self._load_theta_cached(p) for p in elite_paths])
+        )
+        self._elite_rows_cache = (key, rows)
+        return rows
 
     # ---- selection ---------------------------------------------------------------
 
@@ -402,15 +425,23 @@ class ESMaster:
                 idx_row = self._sampler.batch(bs)
 
                 # 1. validation-score the elite candidates published by the
-                #    previous generation (reference eval jobs)
+                #    previous generation (reference eval jobs); thetas stay
+                #    device-resident — the .pth file is only the podium /
+                #    checkpoint surface
                 for cid, path in self.elites_to_evaluate:
-                    score = self.task.validate(
-                        self._place(self._load_theta_cached(path))
-                    )
+                    th = self._cand_thetas.get(path)
+                    if th is None:  # resume: only the file exists
+                        th = self._place(self._load_theta_cached(path))
+                        self._cand_thetas[path] = th
+                    score = self.task.validate(th)
                     it.record_eval_result(cid, path, score)
                 best_ev_acc, best_ev_elite = it.process_evaluated_elites()
                 if best_ev_elite:
-                    self.policy_theta = self._place(spec.load_pth(best_ev_elite))
+                    self.policy_theta = (
+                        self._cand_thetas.get(best_ev_elite)
+                        if best_ev_elite in self._cand_thetas
+                        else self._place(spec.load_pth(best_ev_elite))
+                    )
 
                 # 2. offspring fitness sweep
                 fresh = self.parents_mat is None
@@ -440,13 +471,18 @@ class ESMaster:
                     seeds[cand_ids], pidx[cand_ids], fresh=fresh,
                 )
                 new_cands, cand_files = [], []
+                new_cand_thetas = {}
                 for i in range(len(cand_ids)):
                     path = self._elite_path_tpl.format(i=i)
                     spec.save_pth(np.asarray(cand_thetas[i]), path)
                     new_cands.append((i, path))
                     cand_files.append(path)
+                    new_cand_thetas[path] = cand_thetas[i]
                 remove_all_files_but(self.experiment.elite_dir(), cand_files)
                 self.elites_to_evaluate = new_cands
+                # rebuilt wholesale: the slot paths were just rewritten, so
+                # stale device copies must not survive
+                self._cand_thetas = new_cand_thetas
 
                 # 5. new parents = podium elites + selected children
                 #    (reference: record_parents + _add_elites_to_parents)
@@ -454,21 +490,21 @@ class ESMaster:
                     self.parents_mat, self._sens_mat, sigma,
                     seeds[keep], pidx[keep], fresh=fresh,
                 )
-                elite_rows, elite_paths = [], []
-                for path, _ in it.best_elites():
-                    if path and os.path.isfile(path):
-                        elite_rows.append(self._load_theta_cached(path))
-                        elite_paths.append(path)
+                elite_paths = [
+                    path for path, _ in it.best_elites()
+                    if path and os.path.isfile(path)
+                ]
                 if self._multihost:
                     # host-side assembly; _set_parents re-places globally
+                    elite_rows = [self._load_theta_cached(p)
+                                  for p in elite_paths]
                     rows = ([np.stack(elite_rows)] if elite_rows else []
                             ) + [np.asarray(selected)]
                     mat = np.concatenate(rows, axis=0)
                 else:
-                    rows = (
-                        [jnp.asarray(np.stack(elite_rows))] if elite_rows
-                        else []
-                    ) + [selected]
+                    dev_elites = self._device_elite_rows(elite_paths)
+                    rows = ([dev_elites] if dev_elites is not None else []
+                            ) + [selected]
                     mat = jnp.concatenate(rows, axis=0)
                 self._set_parents(
                     mat, elite_paths + [None] * selected.shape[0]
@@ -480,7 +516,11 @@ class ESMaster:
                 stats.record_score_stats(scores)
                 stats.record_bs_stats(it.batch_size())
                 stats.record_step_time_stats()
-                stats.record_norm_stats(np.asarray(self.policy_theta))
+                # mean |theta| reduced on device: pulling the full 11.6 MB
+                # policy vector per generation costs ~0.5 s over the tunnel
+                stats.record_norm_stats(
+                    [float(jnp.abs(self.policy_theta).mean())]
+                )
                 stats.record_acc_stats(
                     best_ev_acc if best_ev_acc > float("-inf") else 0.0
                 )

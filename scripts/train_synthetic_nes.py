@@ -30,6 +30,8 @@ def log(*a):
 
 def main():
     parser = argparse.ArgumentParser()
+    parser.add_argument("--algo", choices=["nic_nes", "nic_es"],
+                        default="nic_nes")
     parser.add_argument("--gens", type=int, default=1000)
     parser.add_argument("--xent-steps", type=int, default=500)
     parser.add_argument("--pop", type=int, default=288)  # offspring evals
@@ -68,7 +70,7 @@ def main():
     }
 
     exp = {
-        "algorithm": "nic_nes",
+        "algorithm": args.algo,
         "dataset": "mscoco",
         "nb_offspring": args.pop,
         "num_elites": 1,
@@ -102,7 +104,17 @@ def main():
         log(f"XENT pretrain {args.xent_steps} steps: {time.time() - t0:.0f}s")
     exp["from_single"] = pre_path
 
-    master = NESMaster(exp)
+    if args.algo == "nic_es":
+        # the reference's mscoco_es.json regime: mu=50 parents, truncation
+        # selection, elite candidates validated next generation
+        exp["population_size"] = 50
+        exp["num_elite_cands"] = 3
+        exp["selection"] = "uniform"
+        from nes_img_captioning_tpu.algorithms.es import ESMaster
+
+        master = ESMaster(exp)
+    else:
+        master = NESMaster(exp)
     t0 = time.time()
     master.run_master(max_iterations=args.gens)
     wall = time.time() - t0

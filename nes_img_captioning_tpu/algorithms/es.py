@@ -69,8 +69,13 @@ class ESEngine(PopulationEngine):
         under vmap lowers to a TPU gather that measured ~1 ms PER OFFSPRING
         (dominating the whole eval sweep); the (1, P) @ (P, dim) matvec
         rides the MXU. HIGHEST precision = exact 3-way bf16 splits, so the
-        selected row is bitwise the stored row (a single 1.0 against
-        zeros) — eval and materialize stay bit-consistent."""
+        selected row equals the stored row bit-for-bit on every finite
+        value (verified on chip; -0.0 weights land as +0.0) — eval and
+        materialize stay bit-consistent. Precondition: rows are finite —
+        0 * Inf = NaN would leak a diverged row into every selection,
+        where the old gather isolated it. All rows here are finite by
+        construction (clamped sensitivities, bounded Gaussian mutations of
+        finite parents)."""
         oh = jax.nn.one_hot(i, mat.shape[0], dtype=mat.dtype)
         return jnp.matmul(oh, mat, precision=jax.lax.Precision.HIGHEST)
 
@@ -199,6 +204,8 @@ class ESMaster:
         # re-reading + re-uploading 11.6 MB per candidate per generation
         # costs seconds through this harness's ~25 MB/s tunnel
         self._cand_thetas: dict = {}
+        # (paths+mtimes) -> stacked device rows of the podium elites
+        self._elite_rows_cache: tuple | None = None
         # parents: device matrix (P, dim) or None for the fresh generation 0;
         # podium-elite rows are tracked by path for z_info interop
         self.parents_mat = None
@@ -284,6 +291,10 @@ class ESMaster:
                 path = self._elite_path_tpl.format(i=i)
                 spec.save_pth(np.asarray(th), path)
                 self.elites_to_evaluate.append((i, path))
+                # device copy now, so generation 1 doesn't re-read+re-upload
+                self._cand_thetas[path] = self._place(
+                    jnp.asarray(np.asarray(th), jnp.float32)
+                )
             self.policy_theta = self.parents_mat[0]
         else:
             # generation 0 is fully random (parents None, reference
@@ -340,7 +351,7 @@ class ESMaster:
         if not elite_paths:
             return None
         key = tuple((p, os.path.getmtime(p)) for p in elite_paths)
-        cached = getattr(self, "_elite_rows_cache", None)
+        cached = self._elite_rows_cache
         if cached is not None and cached[0] == key:
             return cached[1]
         rows = jnp.asarray(

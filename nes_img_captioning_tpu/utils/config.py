@@ -94,6 +94,18 @@ def parse_tpu_config(exp: dict) -> TpuConfig:
     cfg = _strip_disabled(exp.get("tpu", {}))
     if "mesh_shape" in cfg and cfg["mesh_shape"] is not None:
         cfg["mesh_shape"] = tuple(cfg["mesh_shape"])
+    if "sensitivity_precision" in cfg:
+        # accept the sibling precision knob's spellings; fail at parse time
+        # rather than deep inside jit tracing
+        aliases = {"f32": "float32", "bf16": "bfloat16",
+                   "float32": "float32", "bfloat16": "bfloat16"}
+        try:
+            cfg["sensitivity_precision"] = aliases[cfg["sensitivity_precision"]]
+        except KeyError:
+            raise ValueError(
+                f"tpu.sensitivity_precision={cfg['sensitivity_precision']!r}: "
+                f"expected one of {sorted(aliases)}"
+            ) from None
     return TpuConfig(**cfg)
 
 

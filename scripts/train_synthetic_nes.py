@@ -106,10 +106,14 @@ def main():
 
     if args.algo == "nic_es":
         # the reference's mscoco_es.json regime: mu=50 parents, truncation
-        # selection, elite candidates validated next generation
+        # selection, elite candidates validated next generation.
+        # gens_per_dispatch / val_freq are NES-only knobs (ESMaster ignores
+        # them; elite candidates ARE validated every generation by design)
         exp["population_size"] = 50
         exp["num_elite_cands"] = 3
         exp["selection"] = "uniform"
+        exp["tpu"].pop("gens_per_dispatch", None)
+        exp["tpu"].pop("val_freq", None)
         from nes_img_captioning_tpu.algorithms.es import ESMaster
 
         master = ESMaster(exp)

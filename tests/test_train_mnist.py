@@ -207,6 +207,40 @@ def test_gens_per_dispatch_block_matches_per_gen(tmp_path):
         )
 
 
+def test_carried_scores_enter_podium_once(tmp_path):
+    """With val_freq > 1 and chained blocks, a validation score is carried
+    over interior generations — it must be submitted to the podium exactly
+    once (at the block start, paired with the pre-update model): interior
+    submissions could fill open scoreboard capacity with post-update theta
+    bytes under the old score."""
+    from nes_img_captioning_tpu.algorithms.nes import NESMaster
+
+    exp = _mnist_exp("nic_nes", str(tmp_path / "run"),
+                     tpu={"gens_per_dispatch": 2, "val_freq": 2})
+    exp["num_elites"] = 2
+    exp["config"]["snapshot_freq"] = 0
+    exp["config"]["patience"] = 0
+    master = NESMaster(exp)
+
+    submissions = []
+    orig = master.it.process_evaluated_elites
+
+    def spy():
+        submissions.append(master.it.iteration())
+        return orig()
+
+    master.it.process_evaluated_elites = spy
+    master.run_master(max_iterations=6)
+    # one submission per fresh validation (block starts), none interior
+    assert submissions == sorted(set(submissions)), submissions
+    filled = [(p, s) for p, s in master.it.best_elites() if p]
+    # every filled slot's score is a real validation score
+    accs = set(round(a, 6) for a in master.stats.acc_stats())
+    for _, s in filled:
+        assert round(s, 6) in accs, (s, accs)
+    assert len(master.it.best_elites()) == 2  # capacity-padded scoreboard
+
+
 def test_snapshot_pairs_current_opt_state(tmp_path, monkeypatch):
     """Every snapshot must serialize the optimizer state of the SAME
     generation as the theta it references — a mid-run z_info pairing

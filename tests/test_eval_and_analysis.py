@@ -82,6 +82,47 @@ def test_eval_on_test(tmp_path):
     assert "gts" in img and "nicnes" in img and "nices" in img
 
 
+def test_eval_on_test_cli(tmp_path):
+    """The CLI surface (reference: src/eval_on_test.py run as a script):
+    --model name=path args, output JSON written under --out."""
+    import glob
+    import json
+
+    import jax
+
+    from nes_img_captioning_tpu.data.synthetic import make_synthetic_coco
+    from nes_img_captioning_tpu.eval_on_test import run
+    from nes_img_captioning_tpu.models.fc_caption import (
+        FCCaptionModel,
+        FCModelOptions,
+    )
+
+    copts = make_synthetic_coco(str(tmp_path / "d"), n_train=16, n_val=8,
+                                n_test=8, vocab_size=20, fc_feat_size=32)
+    model = FCCaptionModel(FCModelOptions(vocab_size=20, fc_feat_size=32,
+                                          input_encoding_size=8, rnn_size=8))
+    pth = str(tmp_path / "ck.pth")
+    model.spec.save_pth(
+        np.asarray(model.spec.init_theta(jax.random.PRNGKey(0))), pth
+    )
+    out_dir = str(tmp_path / "out")
+    run([
+        "--model", f"nicnes={pth}",
+        "--input_json", copts["input_json"],
+        "--input_fc_dir", copts["input_fc_dir"],
+        "--input_label_h5", copts["input_label_h5"],
+        "--num", "8", "--out", out_dir,
+        "--input_encoding_size", "8", "--rnn_size", "8",
+        "--fc_feat_size", "32",
+    ])
+    files = glob.glob(out_dir + "/test_output_*.json")
+    assert len(files) == 1
+    with open(files[0]) as f:
+        payload = json.load(f)
+    assert set(payload) == {"stats", "preds_per_img", "preds_per_model"}
+    assert isinstance(payload["stats"]["nicnes"]["METEOR"], float)
+
+
 def test_sm_vector_wiring(tmp_path):
     """safe_mutations=SM-VECTOR loads the vector, clamps at underflow, and
     min-normalizes (reference: safe_mutations.py:28-32)."""

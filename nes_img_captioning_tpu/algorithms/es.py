@@ -90,21 +90,22 @@ class ESEngine(PopulationEngine):
         )
         return parent + delta
 
-    def _eval_fn(self, parents_mat, sens_mat, sigma, seeds, pidx, sidx, idx_row):
+    def _eval_fn(self, parents_mat, sens_mat, sigma, seeds, pidx, sidx,
+                 idx_row, consts):
         def one(seed, pi, si):
             child = self._child(parents_mat, sens_mat, sigma, seed, pi, si)
             key = jax.random.fold_in(self._mk_key(seed), 3)
-            return self.task.rollout(child, idx_row, key=key)
+            return self.task.rollout(child, idx_row, key=key, consts=consts)
 
         return jax.lax.map(
             lambda xs: jax.vmap(one)(*xs), (seeds, pidx, sidx)
         )
 
-    def _fresh_eval_fn(self, seeds, idx_row):
+    def _fresh_eval_fn(self, seeds, idx_row, consts):
         def one(seed):
             child = self.task.spec.init_theta(self._mk_key(seed))
             key = jax.random.fold_in(self._mk_key(seed), 3)
-            return self.task.rollout(child, idx_row, key=key)
+            return self.task.rollout(child, idx_row, key=key, consts=consts)
 
         return jax.lax.map(lambda s: jax.vmap(one)(s), seeds)
 
@@ -135,15 +136,16 @@ class ESEngine(PopulationEngine):
         n_chunks, chunk = self._plan(L)
         seeds_d = self._lay_out(seeds.astype(np.uint32), n_chunks, chunk)
         idx_d = self._replicated(np.asarray(idx_row, np.int32))
+        consts = self.task.device_consts()
         if fresh:
-            out = self._fresh_eval_jit(seeds_d, idx_d)
+            out = self._fresh_eval_jit(seeds_d, idx_d, consts)
         else:
             pidx_d = self._lay_out(pidx.astype(np.int32), n_chunks, chunk)
             sidx = self._sens_rows(pidx)
             sidx_d = self._lay_out(sidx.astype(np.int32), n_chunks, chunk)
             out = self._eval_jit(
                 parents_mat, sens_mat, self._replicated(np.float32(sigma)),
-                seeds_d, pidx_d, sidx_d, idx_d,
+                seeds_d, pidx_d, sidx_d, idx_d, consts,
             )
         return self._unchunk(out, L)
 

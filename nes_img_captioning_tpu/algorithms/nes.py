@@ -97,17 +97,22 @@ class NESEngine(PopulationEngine):
             proportional=self.mutation.is_proportional,
         )
 
-    def _eval_fn(self, theta, sens, sigma, seeds, idx, with_deltas=False):
+    def _eval_fn(self, theta, sens, sigma, seeds, idx, consts,
+                 with_deltas=False):
         """seeds (n,c) uint32, idx (n,c,B) int32 ->
-        (artifacts pytree with leaves (n, c, 2, ...), deltas or None)."""
+        (artifacts pytree with leaves (n, c, 2, ...), deltas or None).
+        ``consts`` = task.device_consts() threaded as an operand (datasets /
+        scorer tables must not become closure constants)."""
 
         def pair(seed, idx_i):
             delta = self._delta(theta, sens, sigma, seed)
             base = self._mk_key(seed)
             pos = self.task.rollout(theta + delta, idx_i,
-                                    key=jax.random.fold_in(base, 1))
+                                    key=jax.random.fold_in(base, 1),
+                                    consts=consts)
             neg = self.task.rollout(theta - delta, idx_i,
-                                    key=jax.random.fold_in(base, 2))
+                                    key=jax.random.fold_in(base, 2),
+                                    consts=consts)
             art = jax.tree_util.tree_map(
                 lambda a, b: jnp.stack([a, b]), pos, neg
             )
@@ -170,7 +175,7 @@ class NESEngine(PopulationEngine):
         return art["fitness"] if isinstance(art, dict) else art
 
     def _generation_fn(self, theta, opt_state, sens, sigma, seeds, idx,
-                       stepsize, l2coeff, n_pairs):
+                       stepsize, l2coeff, consts, n_pairs):
         """One whole NES generation as a single program: perturb + rollout +
         on-device fitness for every antithetic pair, centered-rank weights,
         rank-weighted gradient, optimizer step. The gradient phase
@@ -191,7 +196,8 @@ class NESEngine(PopulationEngine):
         if lay is None:
             base_vec = theta
             delta_of = lambda seed: self._delta(theta, sens, sigma, seed)  # noqa: E731
-            rollout = self.task.rollout
+            rollout = lambda v, i, key: self.task.rollout(  # noqa: E731
+                v, i, key=key, consts=consts)
             finish_grad = lambda g: g  # noqa: E731
         else:
             base_vec = lay.to_dec(theta)
@@ -201,7 +207,8 @@ class NESEngine(PopulationEngine):
             delta_of = lambda seed: scale_dec * jax.random.normal(  # noqa: E731
                 self._mk_key(seed), (lay.dim_dec,), jnp.float32
             )
-            rollout = self.task.rollout_dec
+            rollout = lambda v, i, key: self.task.rollout_dec(  # noqa: E731
+                v, i, key=key, consts=consts)
             finish_grad = lay.from_dec
 
         def pair(seed, idx_i):
@@ -239,7 +246,7 @@ class NESEngine(PopulationEngine):
         return theta, opt_state, packed
 
     def _generation_block_fn(self, theta, opt_state, sens, sigma, seeds, idx,
-                             stepsize, l2coeff, n_pairs):
+                             stepsize, l2coeff, consts, n_pairs):
         """K chained generations in one program (seeds (K, n, c),
         idx (K, n, c, B)) — identical math to K sequential generation()
         dispatches; exists because one dispatch costs ~100 ms through this
@@ -248,7 +255,8 @@ class NESEngine(PopulationEngine):
         def step(carry, xs):
             th, st = carry
             th, st, packed = self._generation_fn(
-                th, st, sens, sigma, xs[0], xs[1], stepsize, l2coeff, n_pairs
+                th, st, sens, sigma, xs[0], xs[1], stepsize, l2coeff,
+                consts, n_pairs
             )
             return (th, st), packed
 
@@ -282,7 +290,7 @@ class NESEngine(PopulationEngine):
         sc = lambda v: self._replicated(np.float32(v))  # noqa: E731
         return self._generation_jit(
             theta, opt_state, sens, sc(sigma), seeds_d, idx_d,
-            sc(stepsize), sc(l2coeff), n_pairs=F,
+            sc(stepsize), sc(l2coeff), self.task.device_consts(), n_pairs=F,
         )
 
     def generation_block(self, theta, opt_state, sens, sigma,
@@ -316,7 +324,7 @@ class NESEngine(PopulationEngine):
         sc = lambda v: self._replicated(np.float32(v))  # noqa: E731
         return self._generation_block_jit(
             theta, opt_state, sens, sc(sigma), seeds_d, idx_d,
-            sc(stepsize), sc(l2coeff), n_pairs=F,
+            sc(stepsize), sc(l2coeff), self.task.device_consts(), n_pairs=F,
         )
 
     @staticmethod
@@ -339,7 +347,7 @@ class NESEngine(PopulationEngine):
         idx_d = self._lay_out(idx.astype(np.int32), n_chunks, chunk)
         out, deltas = self._eval_jit(
             theta, sens, self._replicated(np.float32(sigma)), seeds_d, idx_d,
-            with_deltas=with_deltas,
+            self.task.device_consts(), with_deltas=with_deltas,
         )
         return self._unchunk(out, F), deltas
 
@@ -656,13 +664,16 @@ class NESMaster:
         podium copies the current-model file immediately, and the reference
         pairs eval scores with the pre-update .pth (nic_nes_worker.py:92-113).
 
-        ``fresh=False`` (interior chained-block generations, where the score
-        is carried from the block-start validation and self.theta has
-        already advanced): record the eval for bookkeeping but do NOT
-        submit to the podium — one submission per validation, and a
-        submission here could pair the carried score with post-block theta
-        bytes whenever the scoreboard has open capacity. Patience is
-        guaranteed off on the block path, so skipping its trigger is safe."""
+        ``fresh=False`` — the score is CARRIED from an earlier validation
+        (interior chained-block generations, or any tpu.val_freq > 1
+        generation on either path whose iteration isn't a validation
+        iteration): record the eval for bookkeeping but do NOT submit to
+        the podium — one submission per validation, and a submission here
+        could pair the carried score with theta bytes from a later
+        generation whenever the scoreboard has open capacity. The patience
+        trigger consequently ticks only on fresh validations (with
+        val_freq == 1, i.e. reference cadence, that is every generation;
+        blocks guarantee patience off)."""
         if not fresh:
             self.it.record_eval_result(0, self._current_path, eval_score)
             return
@@ -747,15 +758,20 @@ class NESMaster:
                 # nic_nes/iteration.py:49-50); tpu.val_freq > 1 thins this to
                 # every k generations (documented deviation, carrying the
                 # last score in between). self.theta is still the block-start
-                # (pre-update) model here.
-                if it.iteration() % val_freq == 0 or self._last_eval is None:
+                # (pre-update) model here. fresh_val gates the podium on BOTH
+                # paths: a carried score must never be (re)submitted — the
+                # scoreboard could pair it with theta bytes from a later
+                # generation whenever it has open capacity.
+                fresh_val = (it.iteration() % val_freq == 0
+                             or self._last_eval is None)
+                if fresh_val:
                     self._last_eval = self.task.validate(self.theta)
                 eval_score = self._last_eval
 
                 if fused:
                     # podium for the block's first generation sees the
                     # pre-update (block-start) theta
-                    self._record_eval(eval_score)
+                    self._record_eval(eval_score, fresh=fresh_val)
                     fits_all, ratios, norms = self.engine.unpack(packs, F)
                     block_dt = time.time() - t_block
                     self.theta, self.opt_state = new_theta, new_opt_state
@@ -775,7 +791,9 @@ class NESMaster:
                             block_dt / b, plot,
                         )
                 else:
-                    self._record_eval(eval_score)  # pre-update theta
+                    # pre-update theta; carried scores (tpu.val_freq > 1)
+                    # are bookkeeping-only — same guard as the block path
+                    self._record_eval(eval_score, fresh=fresh_val)
                     self.opt_state, self.theta, ratio = self.engine.update(
                         self.theta, self.opt_state, sens, sigma, seeds[0],
                         fitnesses, self.optimizer.stepsize,

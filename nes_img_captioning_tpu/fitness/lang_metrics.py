@@ -119,4 +119,14 @@ def language_eval(cands, gts_list, stem_of=None) -> dict:
         # reference's Java METEOR-1.5 adds WordNet synonym/paraphrase stages
         "METEOR": meteor_corpus(cands, gts_list, stem_of),
         "SPICE": None,  # needs an external scene-graph parser; not reimplemented
+        # caveats ride along with every score presentation (README metrics
+        # table states the same)
+        "metric_notes": {
+            "METEOR": "Banerjee-Lavie 2005 (exact+stem matchers); the "
+                      "reference's Java METEOR-1.5 adds WordNet "
+                      "synonym/paraphrase stages, absolute values differ "
+                      "by a few points",
+            "SPICE": "not computed (external Java scene-graph pipeline; "
+                     "absent from the reference checkout as well)",
+        },
     }

@@ -107,7 +107,17 @@ def _pack_tuple(g: tuple) -> tuple[int, int]:
 class DeviceCider:
     """Fit once on the per-image ground-truth token lists; ``score_rows`` is
     jax-traceable and returns the same per-caption scores as the host oracle
-    (CiderScorer) to f32 accuracy."""
+    (CiderScorer) to f32 accuracy.
+
+    The device tables (idf hash table + per-image ref data, ~110 MB at real
+    MSCOCO scale) live in the ``dev`` dict so callers can thread them through
+    jit as EXPLICIT OPERANDS (``score_rows(..., dev=tables)``). Closure-
+    capturing them instead bakes the bytes into every executable as XLA
+    constants AND into the persistent compile-cache key, so any host-side
+    table-build change silently recompiles every program embedding them
+    (measured: bench warmup 138 s -> 304.8 s when the fused program swallowed
+    the tables). Reference behavior matched: one CiderD table built per
+    worker and reused forever (src/captioning/policies.py:72)."""
 
     def __init__(self, gts_list: list, variant: str = "cider-d",
                  n: int = 4, sigma: float = 6.0):
@@ -116,6 +126,9 @@ class DeviceCider:
         self.variant = variant
         self.sigma = sigma
         self.n = n
+        #: device-array pytree (the jit-operand surface); filled by the
+        #: builders below
+        self.dev: dict = {}
 
         gts = [np.asarray(g, np.int64) for g in gts_list]
         assert all(g.max(initial=0) <= _MAX_TOKEN for g in gts), \
@@ -176,7 +189,7 @@ class DeviceCider:
         # row pulls a whole padded (8, 128) tile per lookup (~4 KB), which
         # measured 23 ms/generation at bench scale — the flat layout keeps
         # the gather to one tile ROW and cuts that to ~8 ms
-        self.table = jnp.asarray(table.reshape(n_buckets, 3 * S))
+        self.dev["table"] = jnp.asarray(table.reshape(n_buckets, 3 * S))
         logger.info(
             "device CIDEr idf table: %d keys, %d buckets x %d slots",
             len(stored), n_buckets, S,
@@ -247,24 +260,26 @@ class DeviceCider:
 
         import jax.numpy as jnp
 
-        self.ref_lo = jnp.asarray(lo.reshape(n_img, M, W))
-        self.ref_hi = jnp.asarray(hi.reshape(n_img, M, W))
-        self.ref_norm = jnp.asarray(
+        self.dev["ref_lo"] = jnp.asarray(lo.reshape(n_img, M, W))
+        self.dev["ref_hi"] = jnp.asarray(hi.reshape(n_img, M, W))
+        self.dev["ref_norm"] = jnp.asarray(
             np.sqrt(norm2).reshape(n_img, M, self.n).astype(np.float32)
         )
-        self.ref_lens = jnp.asarray(lens.reshape(n_img, M).astype(np.int32))
-        self.ref_mask = jnp.asarray(ref_mask)
-        self.ref_count = jnp.asarray(ref_mask.sum(axis=1).astype(np.float32))
+        self.dev["ref_lens"] = jnp.asarray(
+            lens.reshape(n_img, M).astype(np.int32)
+        )
+        self.dev["ref_mask"] = jnp.asarray(ref_mask)
+        self.dev["ref_count"] = jnp.asarray(
+            ref_mask.sum(axis=1).astype(np.float32)
+        )
 
     def replicate_device_state(self, place):
         """Re-home the scorer's device tables (multi-host global placement)."""
-        for name in ("table", "ref_lo", "ref_hi", "ref_norm", "ref_lens",
-                     "ref_mask", "ref_count"):
-            setattr(self, name, place(getattr(self, name)))
+        self.dev = {k: place(v) for k, v in self.dev.items()}
 
     # ---- device side -------------------------------------------------------------
 
-    def _idf_lookup(self, lo, hi):
+    def _idf_lookup(self, lo, hi, table):
         """One bucket-row gather per window; misses resolve to ref_len
         (df < 2). Keys inside a bucket are unique, so the per-slot hit mask
         selects at most one value."""
@@ -277,7 +292,7 @@ class DeviceCider:
         h = h * jnp.uint32(_C3)
         h = h ^ (h >> 12)
         bucket = h.astype(jnp.int32) & self._bucket_mask
-        rows = self.table[bucket].reshape(*bucket.shape, self.BUCKET, 3)
+        rows = table[bucket].reshape(*bucket.shape, self.BUCKET, 3)
         hit = (rows[..., 0] == lo[..., None]) & (rows[..., 1] == hi[..., None])
         vals = jax.lax.bitcast_convert_type(rows[..., 2], jnp.float32)
         return jnp.where(
@@ -320,18 +335,23 @@ class DeviceCider:
         hi = jnp.where(valid, hi, -1)
         return lo, hi, valid, lens, orders
 
-    def score_rows(self, seqs, img_ids):
+    def score_rows(self, seqs, img_ids, dev: dict | None = None):
         """jax-traceable. seqs (R, T) int tokens, img_ids (R,) int indices
         into the fitted image list -> (R,) f32 CIDEr[-D] scores (x10 scale,
-        same as the host scorer)."""
+        same as the host scorer). Pass ``dev`` (this scorer's table pytree,
+        threaded through jit as an operand) on any compiled hot path —
+        falling back to ``self.dev`` closure-captures ~110 MB of tables as
+        executable constants (see class docstring)."""
         import jax.numpy as jnp
 
+        if dev is None:
+            dev = self.dev
         lo, hi, valid, lens, orders = self._pack_rows(seqs)
-        idf = jnp.where(valid, self._idf_lookup(lo, hi), 0.0)
+        idf = jnp.where(valid, self._idf_lookup(lo, hi, dev["table"]), 0.0)
         idf2 = idf * idf
 
-        rlo = self.ref_lo[img_ids]
-        rhi = self.ref_hi[img_ids]
+        rlo = dev["ref_lo"][img_ids]
+        rhi = dev["ref_hi"][img_ids]
 
         # windows of different orders can never be equal (the zero-slot
         # pattern encodes the order), so the tf compares run per order on
@@ -375,15 +395,17 @@ class DeviceCider:
 
         num = jnp.stack(num_parts, axis=1)  # (R, 4, M)
         norm_c = jnp.sqrt(jnp.stack(normc_parts, axis=1))  # (R, 4)
-        norm_r = self.ref_norm[img_ids]  # (R, M, 4)
+        norm_r = dev["ref_norm"][img_ids]  # (R, M, 4)
         denom = norm_c[:, :, None] * norm_r.swapaxes(1, 2)
         sim = jnp.where(denom > 0, num / jnp.maximum(denom, 1e-30), 0.0)
 
         if self.variant == "cider-d":
-            dlen = (lens[:, None] - self.ref_lens[img_ids]).astype(jnp.float32)
+            dlen = (lens[:, None] - dev["ref_lens"][img_ids]).astype(
+                jnp.float32
+            )
             pen = jnp.exp(-(dlen * dlen) / (2.0 * self.sigma**2))
             sim = sim * pen[:, None, :]
 
-        sim = sim * self.ref_mask[img_ids][:, None, :]
-        per_order = sim.sum(-1) / self.ref_count[img_ids][:, None]
+        sim = sim * dev["ref_mask"][img_ids][:, None, :]
+        per_order = sim.sum(-1) / dev["ref_count"][img_ids][:, None]
         return 10.0 * per_order.mean(-1)

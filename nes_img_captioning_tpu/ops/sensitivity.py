@@ -36,24 +36,28 @@ def _postprocess(sens: jax.Array, underflow: float) -> jax.Array:
 
 
 @partial(jax.jit, static_argnums=(0,))
-def _sum_sens(forward, theta, idx):
-    out_fn = lambda th: forward(th, idx).sum(0)
-    batch = forward(theta, idx).shape[0]
+def _sum_sens(forward, theta, idx, consts):
+    out_fn = lambda th: forward(th, idx, consts).sum(0)
+    batch = forward(theta, idx, consts).shape[0]
     J = jax.jacrev(out_fn)(theta)  # (K, dim)
     return jnp.sqrt((J**2).sum(0)) / batch
 
 
 @partial(jax.jit, static_argnums=(0,))
-def _abs_sens(forward, theta, idx):
+def _abs_sens(forward, theta, idx, consts):
     def sample_jac(carry, i):
         # single-sample forward: (1, K) -> (K,); jacrev -> (K, dim).
         # idx[i][None] (gather + new axis) — a [i:i+1] slice would need a
         # static start under the scan tracer
-        J_i = jax.jacrev(lambda th: forward(th, idx[i][None])[0])(theta)
+        J_i = jax.jacrev(
+            lambda th: forward(th, idx[i][None], consts)[0]
+        )(theta)
         return carry + jnp.abs(J_i), None
 
     B = idx.shape[0]
-    K = jax.eval_shape(lambda th: forward(th, idx[0:1])[0], theta).shape[0]
+    K = jax.eval_shape(
+        lambda th: forward(th, idx[0:1], consts)[0], theta
+    ).shape[0]
     dim = theta.shape[0]
     acc, _ = jax.lax.scan(
         sample_jac, jnp.zeros((K, dim), jnp.float32), jnp.arange(B)
@@ -62,8 +66,9 @@ def _abs_sens(forward, theta, idx):
     return jnp.sqrt((J**2).sum(0))
 
 
-@partial(jax.jit, static_argnums=(0, 3))
-def _sum_sens_many(forward, thetas, idx, matmul_precision: str = "float32"):
+@partial(jax.jit, static_argnums=(0, 4))
+def _sum_sens_many(forward, thetas, idx, consts,
+                   matmul_precision: str = "float32"):
     """SM-G-SUM for a whole (P, dim) parent matrix in ONE program: lax.map
     runs the parents sequentially so only one (K, dim) Jacobian is live at a
     time (~K*dim*4 bytes), while the single dispatch amortizes the ~100 ms
@@ -73,28 +78,34 @@ def _sum_sens_many(forward, thetas, idx, matmul_precision: str = "float32"):
     ``matmul_precision``: MXU precision for the forward/VJP dots. The sweep
     is MXU-bound; "bfloat16" runs it ~3x faster at ~1e-2 relative error on
     the sensitivities (a noise-scaling heuristic — see tpu.sensitivity_precision)."""
-    batch = forward(thetas[0], idx).shape[0]
+    batch = forward(thetas[0], idx, consts).shape[0]
 
     def one(theta):
         with jax.default_matmul_precision(matmul_precision):
-            J = jax.jacrev(lambda th: forward(th, idx).sum(0))(theta)
+            J = jax.jacrev(lambda th: forward(th, idx, consts).sum(0))(theta)
         return jnp.sqrt((J.astype(jnp.float32) ** 2).sum(0)) / batch
 
     return jax.lax.map(one, thetas)
 
 
 @partial(jax.jit, static_argnums=(0,))
-def _abs_sens_many(forward, thetas, idx):
-    return jax.lax.map(lambda th: _abs_sens_scan(forward, th, idx), thetas)
+def _abs_sens_many(forward, thetas, idx, consts):
+    return jax.lax.map(
+        lambda th: _abs_sens_scan(forward, th, idx, consts), thetas
+    )
 
 
-def _abs_sens_scan(forward, theta, idx):
+def _abs_sens_scan(forward, theta, idx, consts):
     def sample_jac(carry, i):
-        J_i = jax.jacrev(lambda th: forward(th, idx[i][None])[0])(theta)
+        J_i = jax.jacrev(
+            lambda th: forward(th, idx[i][None], consts)[0]
+        )(theta)
         return carry + jnp.abs(J_i), None
 
     B = idx.shape[0]
-    K = jax.eval_shape(lambda th: forward(th, idx[0:1])[0], theta).shape[0]
+    K = jax.eval_shape(
+        lambda th: forward(th, idx[0:1], consts)[0], theta
+    ).shape[0]
     acc, _ = jax.lax.scan(
         sample_jac, jnp.zeros((K, theta.shape[0]), jnp.float32), jnp.arange(B)
     )
@@ -108,31 +119,36 @@ def calc_sensitivities(task, thetas, idx, kind: MutationKind, underflow: float,
     (safe_mutations.py:34-84) collapsed into one jitted sweep per
     generation. ``matmul_precision`` per tpu.sensitivity_precision."""
     forward = task.sensitivity_forward
+    consts = task.device_consts()
     if kind is MutationKind.SAFE_GRAD_SUM:
         return _postprocess(
-            _sum_sens_many(forward, thetas, idx, matmul_precision), underflow
+            _sum_sens_many(forward, thetas, idx, consts, matmul_precision),
+            underflow,
         )
     if kind is MutationKind.SAFE_GRAD_ABS:
-        return _postprocess(_abs_sens_many(forward, thetas, idx), underflow)
+        return _postprocess(
+            _abs_sens_many(forward, thetas, idx, consts), underflow
+        )
     raise ValueError(f"no gradient sensitivity for {kind}")
 
 
-def sm_g_sum(forward, theta, idx, underflow: float) -> jax.Array:
-    return _postprocess(_sum_sens(forward, theta, idx), underflow)
+def sm_g_sum(forward, theta, idx, underflow: float, consts=None) -> jax.Array:
+    return _postprocess(_sum_sens(forward, theta, idx, consts), underflow)
 
 
-def sm_g_abs(forward, theta, idx, underflow: float) -> jax.Array:
-    return _postprocess(_abs_sens(forward, theta, idx), underflow)
+def sm_g_abs(forward, theta, idx, underflow: float, consts=None) -> jax.Array:
+    return _postprocess(_abs_sens(forward, theta, idx, consts), underflow)
 
 
 def calc_sensitivity(task, theta, idx, kind: MutationKind, underflow: float):
-    """Dispatch on mutation kind; ``task.sensitivity_forward(theta, idx)``
-    must return the (B, K) grouped output."""
+    """Dispatch on mutation kind; ``task.sensitivity_forward(theta, idx,
+    consts)`` must return the (B, K) grouped output."""
     forward = task.sensitivity_forward
+    consts = task.device_consts()
     if kind is MutationKind.SAFE_GRAD_SUM:
-        return sm_g_sum(forward, theta, idx, underflow)
+        return sm_g_sum(forward, theta, idx, underflow, consts)
     if kind is MutationKind.SAFE_GRAD_ABS:
-        return sm_g_abs(forward, theta, idx, underflow)
+        return sm_g_abs(forward, theta, idx, underflow, consts)
     raise ValueError(f"no gradient sensitivity for {kind}")
 
 

@@ -43,6 +43,13 @@ def init_multihost(coordinator_address: str | None = None,
                 coordinator_address=coordinator_address,
                 num_processes=num_processes,
                 process_id=process_id,
+                # defaults (100 s heartbeat) declare a host dead whenever it
+                # starves that long — routine on a contended 1-core harness
+                # (two CPU test processes + a concurrent TPU driver). A
+                # starved-but-alive process must survive until the scheduler
+                # gets back to it; real failures still trip the barrier.
+                heartbeat_timeout_seconds=600,
+                shutdown_timeout_seconds=600,
             )
         except RuntimeError as e:  # already initialized
             logger.info("jax.distributed: %s", e)

@@ -60,11 +60,24 @@ class Task(abc.ABC):
             "multi-host placement"
         )
 
+    def device_consts(self) -> dict:
+        """Pytree of device-resident arrays the rollout/sensitivity paths
+        read (datasets, scorer tables). The engines pass this as an EXPLICIT
+        jit operand and hand it back through ``rollout(..., consts=...)`` —
+        closure-capturing these arrays during tracing would bake their bytes
+        into every executable as XLA constants and into the persistent
+        compile-cache key (any host-side rebuild then silently recompiles
+        every program embedding them)."""
+        return {}
+
     @abc.abstractmethod
-    def rollout(self, theta, idx, key=None):
+    def rollout(self, theta, idx, key=None, consts=None):
         """Pure fn: fitness scalar or artifacts for one individual on the
         training batch given by index vector ``idx``. ``key`` seeds any
-        stochastic decoding (sampled captions); tasks may ignore it."""
+        stochastic decoding (sampled captions); tasks may ignore it.
+        ``consts`` is the pytree from ``device_consts`` threaded through jit
+        by the engines; ``None`` falls back to the task's own device arrays
+        (fine eagerly or in throwaway jits, not on the engine hot paths)."""
 
     def host_fitness(self, artifacts, idx):
         import numpy as np

@@ -137,6 +137,12 @@ class CocoTask(Task):
     def fitness_on_device(self) -> bool:
         return self._device_cider is not None
 
+    def device_consts(self) -> dict:
+        c = {"train_fc": self.train_fc}
+        if self._device_cider is not None:
+            c["cider"] = self._device_cider.dev
+        return c
+
     def _replicate_device_state(self, place):
         self.train_fc = place(self.train_fc)
         self.val_fc = place(self.val_fc)
@@ -228,8 +234,10 @@ class CocoTask(Task):
         feats5 = jnp.repeat(feats, spi, axis=0)
         return self.model.sample(theta, feats5, greedy=False, key=key)
 
-    def rollout(self, theta, idx, key=None):
-        feats = self.train_fc[idx]
+    def rollout(self, theta, idx, key=None, consts=None):
+        train_fc = self.train_fc if consts is None else consts["train_fc"]
+        cdev = None if consts is None else consts.get("cider")
+        feats = train_fc[idx]
         art = {}
         # logprobs are consumed only by the per-token criteria variants —
         # plain greedy/sample/self_critical fitness skips the per-step
@@ -242,7 +250,8 @@ class CocoTask(Task):
                 key = jax.random.key(0)
             seq, lp = self._sampled(theta, feats, key, need_logprobs=need_lp)
         if self._device_cider is not None:
-            return {"fitness": self._device_fitness(theta, feats, idx, seq)}
+            return {"fitness": self._device_fitness(theta, feats, idx, seq,
+                                                    dev=cdev)}
         # int16 tokens when the vocab allows: the device->host hop can run
         # over a slow tunnel (~25 MB/s measured here), so halving the payload
         # is ~47 ms per generation at bench scale
@@ -255,7 +264,7 @@ class CocoTask(Task):
             )
         return art
 
-    def rollout_dec(self, vec_dec, idx, key=None):
+    def rollout_dec(self, vec_dec, idx, key=None, consts=None):
         """Rollout on a decode-ordered member vector (the NES engine's
         layout fast path, ops/decode_layout.py): the per-member prep is
         slice/reshape/cast only — the transposes were paid once per
@@ -263,8 +272,10 @@ class CocoTask(Task):
         device-scored kinds (greedy | sample | self_critical)."""
         from ..ops.decode_pallas import decode_fused
 
+        train_fc = self.train_fc if consts is None else consts["train_fc"]
+        cdev = None if consts is None else consts.get("cider")
         params = self.decode_layout.prep(vec_dec, self._decode_dtype)
-        feats = self.train_fc[idx]
+        feats = train_fc[idx]
         T = self.model.options.seq_length
 
         def greedy():
@@ -295,15 +306,16 @@ class CocoTask(Task):
         B = idx.shape[0]
         spi = seq.shape[0] // B
         img = idx if spi == 1 else jnp.repeat(idx, spi)
-        scores = self._device_cider.score_rows(seq.astype(jnp.int32), img)
+        scores = self._device_cider.score_rows(seq.astype(jnp.int32), img,
+                                               dev=cdev)
         if self.fitness_kind in SELF_CRITICAL_KINDS:
             base = self._device_cider.score_rows(
-                greedy().astype(jnp.int32), idx
+                greedy().astype(jnp.int32), idx, dev=cdev
             )
             scores = scores - jnp.repeat(base, spi)
         return {"fitness": scores.mean() * 100.0}
 
-    def _device_fitness(self, theta, feats, idx, seq):
+    def _device_fitness(self, theta, feats, idx, seq, dev=None):
         """On-chip fitness for the greedy/sample/self_critical kinds: scores
         every decoded row with the device CIDEr-D scorer, mean * 100 per
         member (self_critical subtracts the greedy-baseline score per image,
@@ -311,10 +323,12 @@ class CocoTask(Task):
         B = idx.shape[0]
         spi = seq.shape[0] // B
         img = idx if spi == 1 else jnp.repeat(idx, spi)
-        scores = self._device_cider.score_rows(seq.astype(jnp.int32), img)
+        scores = self._device_cider.score_rows(seq.astype(jnp.int32), img,
+                                               dev=dev)
         if self.fitness_kind in SELF_CRITICAL_KINDS:
             base_seq = self._greedy(theta, feats, need_logprobs=False)[0]
-            base = self._device_cider.score_rows(base_seq.astype(jnp.int32), idx)
+            base = self._device_cider.score_rows(base_seq.astype(jnp.int32),
+                                                 idx, dev=dev)
             scores = scores - jnp.repeat(base, spi)
         return scores.mean() * 100.0
 
@@ -459,10 +473,11 @@ class CocoTask(Task):
 
     # ---- sensitivity ---------------------------------------------------------------
 
-    def sensitivity_forward(self, theta, idx):
+    def sensitivity_forward(self, theta, idx, consts=None):
         """Grouped logprobs after 5 greedy steps (reference:
         captioning/nets.py:22-70; our batches are already image-unique so the
         reference's 5x-dedup is a no-op)."""
+        train_fc = self.train_fc if consts is None else consts["train_fc"]
         return self.model.forward_for_sensitivity(
-            theta, self.train_fc[idx], length=5, split=100
+            theta, train_fc[idx], length=5, split=100
         )

@@ -46,20 +46,25 @@ class MnistTask(Task):
     def train_n(self) -> int:
         return self.train.n
 
+    def device_consts(self) -> dict:
+        return {"train_x": self.train["x"], "train_y": self.train["y"]}
+
     def _replicate_device_state(self, place):
         for ds in (self.train, self.val, self.test):
             ds.arrays = {k: place(v) for k, v in ds.arrays.items()}
 
     # ---- fitness ---------------------------------------------------------------
 
-    def rollout(self, theta, idx, key=None):
+    def rollout(self, theta, idx, key=None, consts=None):
         """-CrossEntropyLoss on the indexed batch
         (reference: src/classification/policies.py:16-45). The reference's
         VBN pre-pass over the ref batch is a no-op with
         track_running_stats=False (see models/params.py:batch_stat_norm), so
         no ref-batch plumbing is needed here."""
-        x = self.train["x"][idx]
-        y = self.train["y"][idx]
+        if consts is None:
+            x, y = self.train["x"][idx], self.train["y"][idx]
+        else:
+            x, y = consts["train_x"][idx], consts["train_y"][idx]
         logits = self.model.apply(theta, x)
         logp = jax.nn.log_softmax(logits, axis=-1)
         nll = -jnp.take_along_axis(logp, y[:, None], axis=-1).mean()
@@ -100,7 +105,8 @@ class MnistTask(Task):
 
     # ---- sensitivity ------------------------------------------------------------
 
-    def sensitivity_forward(self, theta, idx):
+    def sensitivity_forward(self, theta, idx, consts=None):
         """Raw logits on the batch — the SM-G-* output for MNIST
         (reference: src/classification/nets.py:39-48)."""
-        return self.model.apply(theta, self.train["x"][idx])
+        x = self.train["x"] if consts is None else consts["train_x"]
+        return self.model.apply(theta, x[idx])

@@ -25,6 +25,14 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: long e2e tests (>=15 s each). `pytest -m 'not slow'` is the "
+        "fast iteration loop (<5 min quiet); scripts/check.sh runs all.",
+    )
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

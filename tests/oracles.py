@@ -146,3 +146,90 @@ class OracleMnistNet(nn.Module):
 def torch_flat_vector(model: nn.Module) -> np.ndarray:
     """nn.utils.parameters_to_vector order — the reference flat layout."""
     return nn.utils.parameters_to_vector(model.parameters()).detach().numpy()
+
+
+class OracleNESLoop:
+    """Torch/NumPy transcription of the FULL NES master step — evolve ->
+    rollout -> centered ranks -> weighted gradient -> L2 -> Adam — written
+    from the reference's behavioral spec (src/algorithm/nic_nes/
+    nic_nes_master.py:123-133,170-221 for the gradient, optimizers.py:68-107
+    for Adam, nets.py:83-119 for evolve) and sharing nothing with the package
+    under test. Tests inject the REALIZED noise vectors, so equivalence is
+    checked given shared noise (the two implementations deliberately differ
+    in how noise is drawn — SURVEY.md §7.3)."""
+
+    def __init__(self, dim, stepsize=0.01, l2coeff=0.0,
+                 beta1=0.9, beta2=0.999, eps=1e-8):
+        self.stepsize, self.l2coeff = stepsize, l2coeff
+        self.beta1, self.beta2, self.eps = beta1, beta2, eps
+        self.t = 0
+        self.m = np.zeros(dim, np.float32)
+        self.v = np.zeros(dim, np.float32)
+
+    @staticmethod
+    def centered_ranks(x):
+        flat = x.ravel()
+        order = flat.argsort(kind="stable")
+        ranks = np.empty(flat.size, np.int64)
+        ranks[order] = np.arange(flat.size)
+        y = ranks.reshape(x.shape).astype(np.float32) / (flat.size - 1)
+        return y - 0.5
+
+    def generation(self, theta, deltas, fitness_fn):
+        """One master iteration. ``deltas`` (F, dim) realized noise;
+        ``fitness_fn(theta') -> float`` the torch rollout. Returns
+        (new_theta, fitnesses (F, 2))."""
+        n_pairs = deltas.shape[0]
+        fits = np.zeros((n_pairs, 2), np.float32)
+        for i in range(n_pairs):
+            fits[i, 0] = fitness_fn(theta + deltas[i])
+            fits[i, 1] = fitness_fn(theta - deltas[i])
+        ranked = self.centered_ranks(fits)
+        w = ranked[:, 0] - ranked[:, 1]
+        grad = (w[:, None] * deltas).sum(0) / fits.size
+        globalg = (-grad + self.l2coeff * theta).astype(np.float32)
+        self.t += 1
+        a = self.stepsize * np.sqrt(1.0 - self.beta2 ** self.t) / (
+            1.0 - self.beta1 ** self.t
+        )
+        self.m = self.beta1 * self.m + (1.0 - self.beta1) * globalg
+        self.v = self.beta2 * self.v + (1.0 - self.beta2) * globalg * globalg
+        step = -a * self.m / (np.sqrt(self.v) + self.eps)
+        return (theta + step).astype(np.float32), fits
+
+
+class OracleESSelection:
+    """NumPy transcription of the ES master's selection step
+    (src/algorithm/nic_es/nic_es_master.py:116-125,155-167 +
+    nic_es/iteration.py:83-110): offspring sorted by fitness descending,
+    top (population_size - num_elites) become the next parents with the
+    podium elites PREPENDED; the top num_elite_cands become the next elite
+    candidates."""
+
+    @staticmethod
+    def select(fitness, pop_size, num_elites, n_cands):
+        order = np.argsort(-np.asarray(fitness), kind="stable")
+        return order[: pop_size - num_elites], order[:n_cands]
+
+    @staticmethod
+    def next_parents(elite_rows, child_rows):
+        rows = ([elite_rows] if len(elite_rows) else []) + [child_rows]
+        return np.concatenate(rows, axis=0)
+
+
+def torch_mnist_fitness(x: np.ndarray, y: np.ndarray, vbn: bool = False):
+    """-CrossEntropy fitness closure over a flat theta (reference
+    ClfPolicy.rollout, src/classification/policies.py:16-45)."""
+    model = OracleMnistNet(vbn=vbn)
+    xt = torch.from_numpy(np.asarray(x, np.float32))
+    yt = torch.from_numpy(np.asarray(y)).long()
+
+    def fitness(theta):
+        nn.utils.vector_to_parameters(
+            torch.from_numpy(np.asarray(theta, np.float32)),
+            model.parameters(),
+        )
+        with torch.no_grad():
+            return float(-F.cross_entropy(model(xt), yt))
+
+    return fitness

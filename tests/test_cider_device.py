@@ -124,3 +124,93 @@ def test_task_device_fitness_matches_host_path(tmp_path):
         fits[flag] = float(np.asarray(task.host_fitness(art, idx)))
     np.testing.assert_allclose(fits[True], fits[False], rtol=1e-5, atol=1e-5)
     assert fits[True] != 0.0 or fits[False] == 0.0
+
+
+def test_tables_lower_as_operands_not_constants():
+    """Two scorers with identical table SHAPES but different BYTES must
+    lower score_rows to the exact same HLO when the tables are passed as
+    the ``dev`` operand — i.e. the table bytes are not part of the program
+    (and therefore not part of the persistent compile-cache key)."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(5)
+    gts1 = _make_gts(rng, n_img=6, vocab=30)
+    # same shapes/lengths/df-structure, shifted token ids -> different bytes
+    gts2 = [np.where(g > 0, g + 1, 0) for g in gts1]
+    dc1 = DeviceCider(gts1)
+    dc2 = DeviceCider(gts2)
+    assert jax.tree_util.tree_map(jnp.shape, dc1.dev) == \
+        jax.tree_util.tree_map(jnp.shape, dc2.dev)
+
+    cands, img_ids = _make_cands(rng, gts1, n_cand=8, vocab=30)
+    f = jax.jit(lambda s, i, dev: dc1.score_rows(s, i, dev=dev))
+    t1 = f.lower(jnp.asarray(cands), jnp.asarray(img_ids), dc1.dev).as_text()
+    t2 = f.lower(jnp.asarray(cands), jnp.asarray(img_ids), dc2.dev).as_text()
+    assert t1 == t2
+
+
+def test_engine_consumes_rebuilt_tables_without_retrace(tmp_path):
+    """A table rebuild on a live task must (a) NOT retrace/recompile the
+    fused NES generation program and (b) actually be consumed by it (no
+    stale embedded constants): doubling ref_count must halve the fitness."""
+    import jax
+
+    from nes_img_captioning_tpu.algorithms.nes import NESEngine
+    from nes_img_captioning_tpu.algorithms.optimizers import Adam
+    from nes_img_captioning_tpu.data.synthetic import make_synthetic_coco
+    from nes_img_captioning_tpu.ops.mutation import MutationKind
+    from nes_img_captioning_tpu.tasks.captioning import CocoTask
+    from nes_img_captioning_tpu.utils.config import Config, TpuConfig
+
+    copts = make_synthetic_coco(
+        str(tmp_path / "d"), n_train=32, n_val=8, n_test=8,
+        vocab_size=40, fc_feat_size=16,
+    )
+    exp = {
+        "dataset": "mscoco",
+        "caption_options": copts,
+        "policy_options": {
+            "fitness": "greedy", "vbn": False,
+            "model_options": {
+                "input_encoding_size": 8, "rnn_size": 8, "fc_feat_size": 16,
+            },
+        },
+    }
+    task = CocoTask(exp, Config(batch_size=4), TpuConfig(seed=0))
+    assert task.fitness_on_device
+    engine = NESEngine(task, Adam(0.001), MutationKind.DEFAULT)
+
+    traces = {"n": 0}
+    orig = engine._generation_fn
+
+    def counting(*a, **k):
+        traces["n"] += 1
+        return orig(*a, **k)
+
+    engine._generation_fn = counting
+
+    theta = np.asarray(task.generate_theta(jax.random.PRNGKey(0)))
+    opt_state = engine.optimizer.init(engine.dim)
+    seeds = np.arange(4, dtype=np.uint32)
+    idx = np.tile(np.arange(4, dtype=np.int32), (4, 1))
+    _, _, packed1 = engine.generation(
+        theta, opt_state, np.ones(engine.dim, np.float32), 0.05, seeds, idx,
+        0.001, 0.0,
+    )
+    fits1, _, _ = engine.unpack(packed1, 4)
+    assert traces["n"] == 1
+
+    # simulate a host-side table rebuild: same shapes, different bytes
+    task._device_cider.dev = dict(
+        task._device_cider.dev,
+        ref_count=task._device_cider.dev["ref_count"] * 2.0,
+    )
+    _, _, packed2 = engine.generation(
+        theta, opt_state, np.ones(engine.dim, np.float32), 0.05, seeds, idx,
+        0.001, 0.0,
+    )
+    fits2, _, _ = engine.unpack(packed2, 4)
+    assert traces["n"] == 1, "table rebuild retraced the generation program"
+    assert np.any(fits1 != 0.0)
+    np.testing.assert_allclose(fits2, fits1 / 2.0, rtol=1e-5, atol=1e-6)

@@ -103,6 +103,7 @@ def coco_task(tmp_path_factory):
     return task
 
 
+@pytest.mark.slow
 def test_layout_generation_matches_manual_replay(coco_task):
     """The decode-layout fused generation must be EXACTLY a standard fused
     generation whose member deltas are from_dec(scale_dec * N(0,1)):
@@ -156,6 +157,7 @@ def test_layout_generation_matches_manual_replay(coco_task):
     np.testing.assert_allclose(float(ratio), float(ratio_exp), rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_layout_generation_on_mesh_matches_unsharded(coco_task):
     """The layout path must shard over the pop mesh like any other sweep:
     fitnesses and the updated theta agree with the single-device run."""
@@ -190,6 +192,7 @@ def test_layout_generation_on_mesh_matches_unsharded(coco_task):
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_layout_block_trajectory_exact(coco_task):
     """gens_per_dispatch blocks must stay trajectory-exact on the layout
     path: 2 chained generations == 2 sequential single dispatches."""

@@ -52,6 +52,8 @@ def test_language_eval_dict_shape():
     assert out["CIDEr"] > 0
     assert 0.0 < out["METEOR"] <= 1.0  # native scorer (fitness/meteor.py)
     assert out["SPICE"] is None  # external scene-graph parser, absent
+    # the caveats ride along with every score dict (README metrics table)
+    assert set(out["metric_notes"]) == {"METEOR", "SPICE"}
 
 
 def test_eval_on_test(tmp_path):

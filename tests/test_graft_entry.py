@@ -11,10 +11,12 @@ nor the device-count XLA flag.
 import os
 import subprocess
 import sys
+import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_driver_convention():
     env = dict(os.environ)
     # strip the harness's CPU/virtual-device setup: the function must

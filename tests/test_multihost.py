@@ -22,6 +22,7 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -31,6 +32,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+@pytest.mark.slow
 def test_two_process_nes_generation(tmp_path):
     exp = json.load(open(os.path.join(REPO, "experiments/mnist_nes.json")))
     exp["nb_offspring"] = 8
@@ -65,7 +67,7 @@ def test_two_process_nes_generation(tmp_path):
         ))
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=500)
+        out, _ = p.communicate(timeout=900)
         outs.append(out)
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {pid}:\n{out[-3000:]}"
@@ -92,6 +94,7 @@ def test_two_process_nes_generation(tmp_path):
     assert np.isfinite(infos["score_stats"]).all()
 
 
+@pytest.mark.slow
 def test_two_process_es_generation(tmp_path):
     """NIC-ES across two jax.distributed processes: offspring sweep sharded
     over the global devices, lockstep host bookkeeping, primary-only
@@ -134,7 +137,7 @@ def test_two_process_es_generation(tmp_path):
         ))
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=500)
+        out, _ = p.communicate(timeout=900)
         outs.append(out)
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {pid}:\n{out[-3000:]}"

@@ -96,6 +96,7 @@ def test_coco_fitness_variants(coco_fixture, tmp_path, fitness):
     assert np.isfinite(master.stats.score_stats()[1][-1])
 
 
+@pytest.mark.slow
 def test_coco_es_end_to_end(coco_fixture, tmp_path):
     from nes_img_captioning_tpu.algorithms.es import ESMaster
 
@@ -126,6 +127,7 @@ def test_coco_warm_start_from_single(coco_fixture, tmp_path):
     np.testing.assert_array_equal(np.asarray(m1.theta), np.asarray(m2.theta))
 
 
+@pytest.mark.slow
 def test_coco_es_proportional_tournament_on_mesh(coco_fixture, tmp_path):
     """The mscoco_es.json regime: SM-PROPORTIONAL mutations + tournament
     selection, population sharded over the virtual mesh."""
@@ -157,6 +159,7 @@ def test_coco_norm_variants_end_to_end(coco_fixture, tmp_path, variant):
     assert np.isfinite(master.stats.score_stats()[1][-1])
 
 
+@pytest.mark.slow
 def test_coco_sensitivity_smoke(coco_fixture, tmp_path):
     from nes_img_captioning_tpu.algorithms.nes import NESMaster
 
@@ -211,6 +214,56 @@ def test_population_smaller_than_mesh(coco_fixture, tmp_path):
     master = ESMaster(exp)
     master.run_master(max_iterations=2)
     assert len(master.stats.score_stats()[1]) == 2
+
+
+def test_two_phase_carried_scores_podium_once(coco_fixture, tmp_path):
+    """On the two-phase (host-scored) path with tpu.val_freq > 1, a carried
+    validation score must not be re-submitted to the podium: an open
+    scoreboard slot could otherwise archive generation k+j theta bytes under
+    the generation-k score. Exactly one podium submission per fresh
+    validation, and every archived elite's bytes equal the theta that earned
+    its score."""
+    from nes_img_captioning_tpu.algorithms.nes import NESMaster
+
+    exp = _coco_exp(coco_fixture, str(tmp_path / "run"), nb_offspring=4)
+    exp["num_elites"] = 3  # open scoreboard capacity for the whole run
+    exp["config"]["snapshot_freq"] = 0
+    exp["tpu"] = {"seed": 0, "val_freq": 3, "device_cider": False}
+    master = NESMaster(exp)
+    assert not master.task.fitness_on_device  # two-phase path
+
+    validations = []  # (score, theta bytes at validation time)
+    orig_validate = master.task.validate
+
+    def validate_spy(theta):
+        s = orig_validate(theta)
+        validations.append((s, np.asarray(theta).copy()))
+        return s
+
+    master.task.validate = validate_spy
+    submissions = []
+    orig_proc = master.it.process_evaluated_elites
+
+    def proc_spy():
+        submissions.append(master.it.iteration())
+        return orig_proc()
+
+    master.it.process_evaluated_elites = proc_spy
+    master.run_master(max_iterations=7)
+
+    # fresh validations at iterations 1 (first), 3, 6 — no interior ones
+    assert len(validations) == 3
+    assert submissions == [1, 3, 6]
+    # archived elite bytes always equal the theta that earned the score
+    archived = [(p, s) for p, s in master.it.best_elites() if p]
+    assert archived
+    for path, score in archived:
+        got = master.task.spec.load_pth(path)
+        match = [th for s, th in validations
+                 if round(s, 9) == round(score, 9)]
+        assert match, (score, [s for s, _ in validations])
+        assert any(np.array_equal(got, th) for th in match), \
+            f"elite {path} bytes differ from the theta that earned {score}"
 
 
 def test_decode_split_ragged_tail_pad(coco_fixture):

@@ -56,6 +56,7 @@ def test_nes_trains_and_checkpoints(tmp_path):
     assert os.path.isfile(master.it.best_elites()[0][0])
 
 
+@pytest.mark.slow
 def test_nes_resume_from_infos(tmp_path):
     from nes_img_captioning_tpu.algorithms.nes import NESMaster
 
@@ -97,6 +98,7 @@ def test_nes_safe_mutations_smoke(tmp_path):
     assert sens.max() > 1.0
 
 
+@pytest.mark.slow
 def test_es_trains_and_checkpoints(tmp_path):
     from nes_img_captioning_tpu.algorithms.es import ESMaster
 
@@ -130,6 +132,7 @@ def test_es_trains_and_checkpoints(tmp_path):
     assert len(infos["parents"]) == pop  # E elites + (pop - E) children
 
 
+@pytest.mark.slow
 def test_es_resume_from_infos(tmp_path):
     from nes_img_captioning_tpu.algorithms.es import ESMaster
 
@@ -146,6 +149,7 @@ def test_es_resume_from_infos(tmp_path):
     assert len(master2.stats.score_stats()[1]) == 4
 
 
+@pytest.mark.slow
 def test_es_tournament_selection(tmp_path):
     from nes_img_captioning_tpu.algorithms.es import ESMaster
 
@@ -157,6 +161,7 @@ def test_es_tournament_selection(tmp_path):
     assert len(master.stats.score_stats()[1]) == 2
 
 
+@pytest.mark.slow
 def test_nes_on_virtual_mesh(tmp_path):
     """Population sharded over the 8 virtual CPU devices."""
     from nes_img_captioning_tpu.algorithms.nes import NESMaster
@@ -171,6 +176,7 @@ def test_nes_on_virtual_mesh(tmp_path):
     assert len(master.stats.score_stats()[1]) == 2
 
 
+@pytest.mark.slow
 def test_gens_per_dispatch_block_matches_per_gen(tmp_path):
     """tpu.gens_per_dispatch chains generations into one dispatch with
     identical math and RNG stream: the final theta and every stat series
@@ -207,6 +213,7 @@ def test_gens_per_dispatch_block_matches_per_gen(tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_carried_scores_enter_podium_once(tmp_path):
     """With val_freq > 1 and chained blocks, a validation score is carried
     over interior generations — it must be submitted to the podium exactly
@@ -241,6 +248,7 @@ def test_carried_scores_enter_podium_once(tmp_path):
     assert len(master.it.best_elites()) == 2  # capacity-padded scoreboard
 
 
+@pytest.mark.slow
 def test_snapshot_pairs_current_opt_state(tmp_path, monkeypatch):
     """Every snapshot must serialize the optimizer state of the SAME
     generation as the theta it references — a mid-run z_info pairing
@@ -274,6 +282,7 @@ def test_snapshot_pairs_current_opt_state(tmp_path, monkeypatch):
     assert not mismatches, f"stale opt_state at iterations {mismatches}"
 
 
+@pytest.mark.slow
 def test_block_sizes_are_powers_of_two(tmp_path):
     """Misaligned val/snapshot cadences must not generate one-off block
     sizes (every distinct K is a separate XLA program; a cold compile costs
@@ -304,6 +313,7 @@ def test_block_sizes_are_powers_of_two(tmp_path):
     assert any(b < 8 for b in budgets), budgets
 
 
+@pytest.mark.slow
 def test_es_safe_mutations_end_to_end(tmp_path):
     """NIC-ES with SM-G-SUM: the per-parent sensitivity matrix is rebuilt
     each generation by the fused lax.map sweep and shapes the mutations

@@ -127,6 +127,68 @@ class ESEngine(PopulationEngine):
             return pidx
         return np.zeros_like(pidx)
 
+    def _fused_generation_fn(self, elite_rows, n_valid, selected_prev,
+                             sens_mat, sigma, seeds, pidx, sidx, idx_row,
+                             policy, consts, vconsts,
+                             n_offspring, n_keep, n_cands):
+        """One WHOLE ES generation as a single program (mirrors the NES
+        fused generation): assemble the parent matrix from podium-elite rows
+        + the previous generation's selected children, sweep all offspring,
+        truncation-select on device, re-materialize the winners and the next
+        elite candidates, and validation-score those candidates in-program
+        (``task.validate_device``). One dispatch, one packed result pull —
+        where the host-choreographed path paid an eval dispatch, two
+        materialize dispatches, and C multi-dispatch host validations per
+        generation (reference master loop: nic_es_master.py:55-153).
+
+        Parent assembly (reference record_parents semantics,
+        nic_es/iteration.py:83-110): row i = elite_rows[i] for i < n_valid,
+        else selected_prev[i - n_valid]; rows past the true parent count
+        duplicate the last child and are never drawn (pidx < n_parents).
+        ``policy`` rides along only for its |.|.mean() stat (saves an
+        11.6 MB theta pull per generation)."""
+        E, S = elite_rows.shape[0], selected_prev.shape[0]
+        P = E + S
+        pool = jnp.concatenate([elite_rows, selected_prev], axis=0)
+        ii = jnp.arange(P)
+        ridx = jnp.where(ii < n_valid, ii,
+                         E + jnp.minimum(ii - n_valid, S - 1))
+        oh = jax.nn.one_hot(ridx, P, dtype=pool.dtype)
+        # HIGHEST = bit-exact row selection (see _select_row)
+        parents = jnp.matmul(oh, pool, precision=jax.lax.Precision.HIGHEST)
+
+        def one(seed, pi, si):
+            child = self._child(parents, sens_mat, sigma, seed, pi, si)
+            key = jax.random.fold_in(self._mk_key(seed), 3)
+            art = self.task.rollout(child, idx_row, key=key, consts=consts)
+            return art["fitness"] if isinstance(art, dict) else art
+
+        fits = jax.lax.map(
+            lambda xs: jax.vmap(one)(*xs), (seeds, pidx, sidx)
+        )
+        fitness = fits.reshape(-1)[:n_offspring]
+
+        order = jnp.argsort(-fitness, stable=True)
+        seeds_f = seeds.reshape(-1)[:n_offspring]
+        pidx_f = pidx.reshape(-1)[:n_offspring]
+        sidx_f = sidx.reshape(-1)[:n_offspring]
+
+        def materialize(js):
+            return jax.vmap(lambda j: self._child(
+                parents, sens_mat, sigma,
+                seeds_f[j], pidx_f[j], sidx_f[j],
+            ))(js)
+
+        new_selected = materialize(order[:n_keep])
+        new_cands = materialize(order[:n_cands])
+        cand_scores = jax.lax.map(
+            lambda th: self.task.validate_device(th, vconsts), new_cands
+        )
+        packed = jnp.concatenate([
+            fitness, cand_scores, jnp.abs(policy).mean().reshape(1),
+        ])
+        return packed, new_selected, new_cands
+
     # ---- host entry points ---------------------------------------------------------
 
     def eval_generation(self, parents_mat, sens_mat, sigma, seeds, pidx, idx_row,
@@ -148,6 +210,41 @@ class ESEngine(PopulationEngine):
                 seeds_d, pidx_d, sidx_d, idx_d, consts,
             )
         return self._unchunk(out, L)
+
+    def fused_generation(self, elite_rows, n_valid: int, selected_prev,
+                         sens_mat, sigma, seeds: np.ndarray,
+                         pidx: np.ndarray, idx_row: np.ndarray, policy,
+                         n_cands: int):
+        """Host entry for the one-dispatch generation. elite_rows (E, dim)
+        and selected_prev (S, dim) are device handles (the latter from the
+        previous call); returns (packed, new_selected, new_cands) where
+        ``unpack_fused(packed, L, C)`` costs the generation's single sync."""
+        L = seeds.shape[0]
+        n_chunks, chunk = self._plan(L)
+        seeds_d = self._lay_out(seeds.astype(np.uint32), n_chunks, chunk)
+        pidx_d = self._lay_out(pidx.astype(np.int32), n_chunks, chunk)
+        sidx = self._sens_rows(pidx)
+        sidx_d = self._lay_out(sidx.astype(np.int32), n_chunks, chunk)
+        if not hasattr(self, "_fused_jit"):
+            self._fused_jit = jax.jit(
+                self._fused_generation_fn,
+                static_argnames=("n_offspring", "n_keep", "n_cands"),
+                out_shardings=self._out_shardings(),
+            )
+        return self._fused_jit(
+            elite_rows, self._replicated(np.int32(n_valid)), selected_prev,
+            sens_mat, self._replicated(np.float32(sigma)),
+            seeds_d, pidx_d, sidx_d,
+            self._replicated(np.asarray(idx_row, np.int32)), policy,
+            self.task.device_consts(), self.task.device_val_consts(),
+            n_offspring=L, n_keep=selected_prev.shape[0], n_cands=n_cands,
+        )
+
+    @staticmethod
+    def unpack_fused(packed, L: int, n_cands: int):
+        """(fitness (L,), cand_scores (C,), |policy|.mean()) — one sync."""
+        arr = np.asarray(packed)
+        return arr[:L], arr[L : L + n_cands], float(arr[-1])
 
     def materialize(self, parents_mat, sens_mat, sigma, seeds, pidx,
                     fresh: bool = False):
@@ -214,6 +311,12 @@ class ESMaster:
         self._parent_paths: list = []  # path or None, aligned with matrix rows
         self.elites_to_evaluate: list = []  # (cand_id, path)
         self.policy_theta = None  # representative (best evaluated elite)
+        # fused-generation state (run_master): the previous generation's
+        # selected-children matrix (P-E, dim) on device + the in-program
+        # validation scores of the current elites_to_evaluate
+        self._selected_dev = None
+        self._n_selected = 0
+        self._cand_scores_pending = None
         self._sens_mat = self._place(np.ones((1, self.engine.dim), np.float32))
         if self.mutation is MutationKind.SAFE_VECTOR:
             from .nes import _load_sensitivity_file
@@ -409,6 +512,246 @@ class ESMaster:
 
     # ---- main loop ------------------------------------------------------------------
 
+    def _fused_capable(self) -> bool:
+        """Eligibility for the one-dispatch fused generation: device-scored
+        fitness + in-program validation + a mutation kind whose sensitivity
+        rows are static (SM-G-* recomputes per-parent sensitivities from
+        each generation's parents, which needs the unfused choreography)."""
+        cached = getattr(self, "_fused_capable_cache", None)
+        if cached is not None:
+            return cached
+        want = getattr(self.tpu_cfg, "fused_es", "auto")
+        ok = (
+            want is not False
+            and self.task.fitness_on_device
+            and self.mutation not in (MutationKind.SAFE_GRAD_SUM,
+                                      MutationKind.SAFE_GRAD_ABS)
+            and self.exp["nb_offspring"] >= (
+                self.experiment.population_size()
+                - self.experiment.num_elites()
+            )
+            and self.task.device_val_consts() is not None
+        )
+        self._fused_capable_cache = ok
+        return ok
+
+    def _ensure_cand_file(self, path: str):
+        """Lazy .pth materialization of a device-resident candidate (the
+        fused path defers candidate file writes — an 11.6 MB device->host
+        pull each — until the podium or a snapshot actually needs the
+        file)."""
+        if os.path.isfile(path):
+            return
+        th = self._cand_thetas.get(path)
+        if th is not None:
+            self.task.spec.save_pth(np.asarray(th), path)
+
+    def _padded_elite_rows(self, elite_paths: list, E: int):
+        """(E, dim) device matrix: podium-elite rows padded with zero rows
+        (never selected — parent assembly maps rows >= n_valid to children).
+        Cached on (paths, mtimes, E) like _device_elite_rows."""
+        key = (tuple((p, os.path.getmtime(p)) for p in elite_paths), E)
+        cached = getattr(self, "_padded_elite_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        rows = np.zeros((E, self.engine.dim), np.float32)
+        for i, p in enumerate(elite_paths[:E]):
+            rows[i] = self._load_theta_cached(p)
+        dev = self._place(rows)
+        self._padded_elite_cache = (key, dev)
+        return dev
+
+    def _plain_step(self, idx_row, sigma, L, pop_size, num_elites, n_cands):
+        """The host-choreographed generation (reference cadence: validate
+        prev cands -> sweep -> select -> publish cands -> install parents).
+        Returns (sorted fitness desc, best eval score, mean |policy|)."""
+        it, spec = self.it, self.task.spec
+
+        # 1. validation-score the elite candidates published by the
+        #    previous generation (reference eval jobs); thetas stay
+        #    device-resident — the .pth file is only the podium /
+        #    checkpoint surface
+        for cid, path in self.elites_to_evaluate:
+            th = self._cand_thetas.get(path)
+            if th is None:  # resume: only the file exists
+                th = self._place(self._load_theta_cached(path))
+                self._cand_thetas[path] = th
+            score = self.task.validate(th)
+            it.record_eval_result(cid, path, score)
+        best_ev_acc, best_ev_elite = it.process_evaluated_elites()
+        if best_ev_elite:
+            self.policy_theta = (
+                self._cand_thetas.get(best_ev_elite)
+                if best_ev_elite in self._cand_thetas
+                else self._place(spec.load_pth(best_ev_elite))
+            )
+
+        # 2. offspring fitness sweep
+        fresh = self.parents_mat is None
+        seeds = self._rng.integers(0, 2**32, size=L, dtype=np.uint32)
+        if fresh:
+            pidx = np.zeros(L, np.int32)
+        else:
+            self._update_sensitivities(idx_row)
+            pidx = self._select_parent_indices(L, self._n_parents)
+        artifacts = self.engine.eval_generation(
+            self.parents_mat, self._sens_mat, sigma, seeds, pidx,
+            idx_row, fresh=fresh,
+        )
+        fitness = np.asarray(
+            self.task.host_fitness(artifacts, idx_row)
+        ).reshape(L)
+
+        # 3. truncation selection (reference: nic_es_master.py:155-167)
+        order = np.argsort(-fitness, kind="stable")
+        scores = fitness[order]
+        keep = order[: pop_size - num_elites]
+
+        # 4. next elite candidates = top C children, persisted as .pth
+        cand_ids = order[:n_cands]
+        cand_thetas = self.engine.materialize(
+            self.parents_mat, self._sens_mat, sigma,
+            seeds[cand_ids], pidx[cand_ids], fresh=fresh,
+        )
+        new_cands, cand_files = [], []
+        new_cand_thetas = {}
+        for i in range(len(cand_ids)):
+            path = self._elite_path_tpl.format(i=i)
+            spec.save_pth(np.asarray(cand_thetas[i]), path)
+            new_cands.append((i, path))
+            cand_files.append(path)
+            new_cand_thetas[path] = cand_thetas[i]
+        remove_all_files_but(self.experiment.elite_dir(), cand_files)
+        self.elites_to_evaluate = new_cands
+        # rebuilt wholesale: the slot paths were just rewritten, so
+        # stale device copies must not survive
+        self._cand_thetas = new_cand_thetas
+
+        # 5. new parents = podium elites + selected children
+        #    (reference: record_parents + _add_elites_to_parents)
+        selected = self.engine.materialize(
+            self.parents_mat, self._sens_mat, sigma,
+            seeds[keep], pidx[keep], fresh=fresh,
+        )
+        elite_paths = [
+            path for path, _ in it.best_elites()
+            if path and os.path.isfile(path)
+        ]
+        if self._multihost:
+            # host-side assembly; _set_parents re-places globally
+            elite_rows = [self._load_theta_cached(p)
+                          for p in elite_paths]
+            rows = ([np.stack(elite_rows)] if elite_rows else []
+                    ) + [np.asarray(selected)]
+            mat = np.concatenate(rows, axis=0)
+        else:
+            dev_elites = self._device_elite_rows(elite_paths)
+            rows = ([dev_elites] if dev_elites is not None else []
+                    ) + [selected]
+            mat = jnp.concatenate(rows, axis=0)
+        self._set_parents(
+            mat, elite_paths + [None] * selected.shape[0]
+        )
+
+        # hand the fused path its state: the selected-children matrix
+        # (padded to the static P-E row count) + unscored candidates
+        if self._fused_capable():
+            S = pop_size - num_elites
+            sel = selected
+            if sel.shape[0] < S:
+                pad = jnp.broadcast_to(
+                    sel[-1:], (S - sel.shape[0], sel.shape[1])
+                )
+                sel = jnp.concatenate([sel, pad], axis=0)
+            self._selected_dev = sel
+            self._n_selected = int(selected.shape[0])
+            self._cand_scores_pending = None
+
+        norm = float(jnp.abs(self.policy_theta).mean())
+        return scores, best_ev_acc, norm
+
+    def _fused_step(self, idx_row, sigma, L, pop_size, num_elites, n_cands):
+        """One-dispatch generation (engine._fused_generation_fn). Candidate
+        scores come from the PREVIOUS generation's program (deterministic
+        device validation — the value is identical whenever it runs);
+        podium/patience bookkeeping happens at the same relative point as
+        the plain path. Elite rows for THIS generation's parents are loaded
+        BEFORE the podium submission can rewrite the slot files."""
+        it = self.it
+        S = pop_size - num_elites
+        elite_paths = [p for p in self._parent_paths if p is not None]
+        dev_elites = self._padded_elite_rows(elite_paths, num_elites)
+        n_valid = len(elite_paths)
+
+        # candidate bookkeeping (plain step 1). Boundary generations
+        # (resume / plain handoff) host-validate; steady state reuses the
+        # in-program scores pulled last generation.
+        if self._cand_scores_pending is None:
+            scores = []
+            for _, path in self.elites_to_evaluate:
+                th = self._cand_thetas.get(path)
+                if th is None:
+                    th = self._place(self._load_theta_cached(path))
+                    self._cand_thetas[path] = th
+                scores.append(float(self.task.validate(th)))
+        else:
+            scores = [float(s) for s in self._cand_scores_pending]
+        # lazy candidate files: a cand can only enter the podium by strictly
+        # beating the worst incumbent slot (record_elites stable-merge)
+        min_slot = min(
+            (sc for _, sc in it.best_elites()), default=float("-inf")
+        )
+        for (cid, path), score in zip(self.elites_to_evaluate, scores):
+            if score > min_slot:
+                self._ensure_cand_file(path)
+            it.record_eval_result(cid, path, score)
+        it.process_evaluated_elites()
+        best_ev_acc = float("-inf")
+        if scores:
+            bi = int(np.argmax(scores))
+            best_ev_acc = scores[bi]
+            best_path = self.elites_to_evaluate[bi][1]
+            th = self._cand_thetas.get(best_path)
+            self.policy_theta = (
+                th if th is not None
+                else self._place(self._load_theta_cached(best_path))
+            )
+
+        seeds = self._rng.integers(0, 2**32, size=L, dtype=np.uint32)
+        pidx = self._select_parent_indices(L, self._n_parents)
+        packed, new_selected, new_cands = self.engine.fused_generation(
+            dev_elites, n_valid, self._selected_dev, self._sens_mat, sigma,
+            seeds, pidx, idx_row, self.policy_theta, n_cands,
+        )
+        fitness, cand_scores, norm = self.engine.unpack_fused(
+            packed, L, n_cands
+        )  # the generation's single host sync
+        order = np.argsort(-fitness, kind="stable")
+
+        # publish this generation's candidates. Slot files are DELETED so a
+        # stale file can't impersonate an unwritten new candidate; .pth
+        # bytes materialize lazily (_ensure_cand_file).
+        remove_all_files_but(self.experiment.elite_dir(), [])
+        self.elites_to_evaluate = []
+        self._cand_thetas = {}
+        for i in range(n_cands):
+            path = self._elite_path_tpl.format(i=i)
+            self.elites_to_evaluate.append((i, path))
+            self._cand_thetas[path] = new_cands[i]
+        self._cand_scores_pending = cand_scores
+        self._selected_dev = new_selected
+        self._n_selected = S
+        self.parents_mat = None  # the fused representation owns the parents
+
+        # parent bookkeeping for the NEXT generation / this snapshot:
+        # podium state AFTER this generation's submission (plain-path parity)
+        elite_paths_next = [
+            p for p, _ in it.best_elites() if p and os.path.isfile(p)
+        ]
+        self._parent_paths = elite_paths_next + [None] * S
+        self._n_parents = len(elite_paths_next) + S
+        return fitness[order], best_ev_acc, norm
+
     def run_master(self, plot: bool = False, max_iterations: int | None = None):
         config, it, stats = self.config, self.it, self.stats
         limit = max_iterations or config.max_nb_iterations
@@ -416,7 +759,6 @@ class ESMaster:
         pop_size = self.experiment.population_size()
         num_elites = self.experiment.num_elites()
         n_cands = self.experiment.num_elite_cands()
-        spec = self.task.spec
 
         while not limit or it.iteration() < limit:
             it.incr_epoch()
@@ -437,90 +779,13 @@ class ESMaster:
                     )
                 idx_row = self._sampler.batch(bs)
 
-                # 1. validation-score the elite candidates published by the
-                #    previous generation (reference eval jobs); thetas stay
-                #    device-resident — the .pth file is only the podium /
-                #    checkpoint surface
-                for cid, path in self.elites_to_evaluate:
-                    th = self._cand_thetas.get(path)
-                    if th is None:  # resume: only the file exists
-                        th = self._place(self._load_theta_cached(path))
-                        self._cand_thetas[path] = th
-                    score = self.task.validate(th)
-                    it.record_eval_result(cid, path, score)
-                best_ev_acc, best_ev_elite = it.process_evaluated_elites()
-                if best_ev_elite:
-                    self.policy_theta = (
-                        self._cand_thetas.get(best_ev_elite)
-                        if best_ev_elite in self._cand_thetas
-                        else self._place(spec.load_pth(best_ev_elite))
-                    )
-
-                # 2. offspring fitness sweep
-                fresh = self.parents_mat is None
-                seeds = self._rng.integers(0, 2**32, size=L, dtype=np.uint32)
-                if fresh:
-                    pidx = np.zeros(L, np.int32)
-                else:
-                    self._update_sensitivities(idx_row)
-                    pidx = self._select_parent_indices(L, self._n_parents)
-                artifacts = self.engine.eval_generation(
-                    self.parents_mat, self._sens_mat, sigma, seeds, pidx,
-                    idx_row, fresh=fresh,
+                step = (
+                    self._fused_step
+                    if self._selected_dev is not None and self._fused_capable()
+                    else self._plain_step
                 )
-                fitness = np.asarray(
-                    self.task.host_fitness(artifacts, idx_row)
-                ).reshape(L)
-
-                # 3. truncation selection (reference: nic_es_master.py:155-167)
-                order = np.argsort(-fitness, kind="stable")
-                scores = fitness[order]
-                keep = order[: pop_size - num_elites]
-
-                # 4. next elite candidates = top C children, persisted as .pth
-                cand_ids = order[:n_cands]
-                cand_thetas = self.engine.materialize(
-                    self.parents_mat, self._sens_mat, sigma,
-                    seeds[cand_ids], pidx[cand_ids], fresh=fresh,
-                )
-                new_cands, cand_files = [], []
-                new_cand_thetas = {}
-                for i in range(len(cand_ids)):
-                    path = self._elite_path_tpl.format(i=i)
-                    spec.save_pth(np.asarray(cand_thetas[i]), path)
-                    new_cands.append((i, path))
-                    cand_files.append(path)
-                    new_cand_thetas[path] = cand_thetas[i]
-                remove_all_files_but(self.experiment.elite_dir(), cand_files)
-                self.elites_to_evaluate = new_cands
-                # rebuilt wholesale: the slot paths were just rewritten, so
-                # stale device copies must not survive
-                self._cand_thetas = new_cand_thetas
-
-                # 5. new parents = podium elites + selected children
-                #    (reference: record_parents + _add_elites_to_parents)
-                selected = self.engine.materialize(
-                    self.parents_mat, self._sens_mat, sigma,
-                    seeds[keep], pidx[keep], fresh=fresh,
-                )
-                elite_paths = [
-                    path for path, _ in it.best_elites()
-                    if path and os.path.isfile(path)
-                ]
-                if self._multihost:
-                    # host-side assembly; _set_parents re-places globally
-                    elite_rows = [self._load_theta_cached(p)
-                                  for p in elite_paths]
-                    rows = ([np.stack(elite_rows)] if elite_rows else []
-                            ) + [np.asarray(selected)]
-                    mat = np.concatenate(rows, axis=0)
-                else:
-                    dev_elites = self._device_elite_rows(elite_paths)
-                    rows = ([dev_elites] if dev_elites is not None else []
-                            ) + [selected]
-                    mat = jnp.concatenate(rows, axis=0)
-                self._set_parents(
-                    mat, elite_paths + [None] * selected.shape[0]
+                scores, best_ev_acc, norm = step(
+                    idx_row, sigma, L, pop_size, num_elites, n_cands
                 )
 
                 if it.patience_reached() or it.schedule_reached():
@@ -531,9 +796,7 @@ class ESMaster:
                 stats.record_step_time_stats()
                 # mean |theta| reduced on device: pulling the full 11.6 MB
                 # policy vector per generation costs ~0.5 s over the tunnel
-                stats.record_norm_stats(
-                    [float(jnp.abs(self.policy_theta).mean())]
-                )
+                stats.record_norm_stats([norm])
                 stats.record_acc_stats(
                     best_ev_acc if best_ev_acc > float("-inf") else 0.0
                 )
@@ -558,15 +821,22 @@ class ESMaster:
     def _write_parent_files(self):
         """Materialize parent rows as .pth files for the z_info checkpoint
         (the reference keeps them on disk continuously as its transport; we
-        only need them at snapshot time)."""
+        only need them at snapshot time). Fused representation: child rows
+        come from the selected-children device matrix (one bulk pull),
+        elites are already files."""
         parents = []
         spec = self.task.spec
         keep_files = []
+        fused = self.parents_mat is None
+        sel = np.asarray(self._selected_dev) if fused else None
+        n_elite_rows = sum(1 for p in self._parent_paths if p is not None)
         for i in range(self._n_parents):
             path = self._parent_paths[i]
             if path is None:
                 path = self._parent_path_tpl.format(i=i)
-                spec.save_pth(np.asarray(self.parents_mat[i]), path)
+                row = (sel[i - n_elite_rows] if fused
+                       else np.asarray(self.parents_mat[i]))
+                spec.save_pth(row, path)
             parents.append((i, path))
             if path.startswith(self.experiment.offspring_dir()):
                 keep_files.append(path)
@@ -574,7 +844,13 @@ class ESMaster:
         return parents
 
     def _snapshot(self, plot: bool):
-        parents = self._write_parent_files() if self.parents_mat is not None else []
+        have_parents = (self.parents_mat is not None
+                        or self._selected_dev is not None)
+        # the z_info's elites_to_evaluate must exist as files (the fused
+        # path defers candidate writes)
+        for _, path in self.elites_to_evaluate:
+            self._ensure_cand_file(path)
+        parents = self._write_parent_files() if have_parents else []
         # ES checkpoint state (reference: nic_es/iteration.py:30-35)
         self.it.extra_state = {
             "elites_to_evaluate": list(self.elites_to_evaluate),

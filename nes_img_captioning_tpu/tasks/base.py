@@ -88,6 +88,19 @@ class Task(abc.ABC):
     def validate(self, theta) -> float:
         """Validation score of one individual (accuracy / CIDEr)."""
 
+    def device_val_consts(self) -> dict | None:
+        """Device-array pytree for IN-PROGRAM validation (``validate_device``
+        below), threaded through jit as an operand like ``device_consts``.
+        ``None`` = this task can only validate host-side; engines then fall
+        back to per-candidate ``validate`` calls."""
+        return None
+
+    def validate_device(self, theta, vconsts):
+        """jax-traceable validation score (same quantity as ``validate`` to
+        f32 accuracy) — lets the ES engine fuse elite-candidate validation
+        into the generation program. ``vconsts`` = device_val_consts()."""
+        raise NotImplementedError
+
     def test_score(self, theta) -> float:
         """Test-set score (offline eval); default mirrors validate."""
         raise NotImplementedError

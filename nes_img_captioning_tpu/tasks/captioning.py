@@ -149,6 +149,10 @@ class CocoTask(Task):
         self.test_fc = place(self.test_fc)
         if self._device_cider is not None:
             self._device_cider.replicate_device_state(place)
+        if getattr(self, "_val_dev_cache", None) is not None:
+            self._val_dev_cache = jax.tree_util.tree_map(
+                place, self._val_dev_cache
+            )
 
     # ---- scorers -----------------------------------------------------------------
 
@@ -458,6 +462,81 @@ class CocoTask(Task):
             self.data.word_id_rows(seqs), np.arange(len(seqs))
         )
         return float(mean)
+
+    def device_val_consts(self) -> dict | None:
+        """Device arrays for in-program validation: the val-subset features
+        pre-chunked at val_batch_size, the token->word-id table laid out for
+        a row-gather lookup, and a word-level plain-CIDEr DeviceCider over
+        the val refs — the same subset/scorer semantics as validate()
+        (oracle path: data.word_id_rows + val_scorer). Built once; None when
+        the on-device scorer family is unavailable (host-scored fitness
+        kinds, oversized vocab)."""
+        if self._device_cider is None:
+            return None
+        if getattr(self, "_val_dev_cache", None) is None:
+            from ..ops.cider_device import DeviceCider
+
+            num = self.config.num_val_items or -1
+            val_n = self.val_fc.shape[0]
+            n = val_n if num in (-1, 0, None) else min(num, val_n)
+            bs = min(self.config.val_batch_size or self.config.batch_size
+                     or 64, n)
+            n_chunks = -(-n // bs)
+            feats = self.val_fc[:n]
+            pad = n_chunks * bs - n
+            if pad:
+                feats = jnp.concatenate(
+                    [feats, jnp.zeros((pad, feats.shape[1]), feats.dtype)]
+                )
+            self._val_n, self._val_bs = n, bs
+            logger.info("building on-device val CIDEr scorer (%d images)", n)
+            self._val_device_cider = DeviceCider(
+                self.data.split_gts_words("val"), variant="cider"
+            )
+            # word table as (rows, 128): the lookup gathers a 512-byte row
+            # per token then selects the lane — TPU gathers like rows, a
+            # scalar-element gather of the flat table lowers poorly
+            flat = np.asarray(
+                self.data.word_id_rows(np.arange(self.data.vocab_size + 1))
+            ).astype(np.int32)
+            wpad = -(-flat.shape[0] // 128) * 128
+            table2d = np.zeros((wpad // 128, 128), np.int32)
+            table2d.reshape(-1)[: flat.shape[0]] = flat
+            self._val_dev_cache = {
+                "feats": feats.reshape(n_chunks, bs, feats.shape[1]),
+                "word": jnp.asarray(table2d),
+                "cider": self._val_device_cider.dev,
+            }
+        return self._val_dev_cache
+
+    def validate_device(self, theta, vconsts):
+        """Traced validate(): chunked greedy decode of the val subset +
+        word-level plain CIDEr on device. Matches validate() to f32 accuracy
+        (tested); skips the predictions-JSON artifact (host-only side
+        effect)."""
+        params = self._fused_params(theta) if self._fused else None
+        T = self.model.options.seq_length
+
+        def chunk(f):
+            if self._fused:
+                from ..ops.decode_pallas import decode_fused
+
+                return decode_fused(params, f, seq_length=T,
+                                    need_logprobs=False,
+                                    interpret=self._fused_interpret)[0]
+            return self.model.sample(theta, f, greedy=True)[0]
+
+        seqs = jax.lax.map(chunk, vconsts["feats"])  # (K, bs, T)
+        seqs = seqs.reshape(-1, T)[: self._val_n].astype(jnp.int32)
+        seqs = jnp.clip(seqs, 0, self.data.vocab_size)
+        # row-gather + lane-select word mapping (see device_val_consts)
+        rows = vconsts["word"][seqs // 128]              # (n, T, 128)
+        lane = jax.nn.one_hot(seqs % 128, 128, dtype=jnp.int32)
+        wids = (rows * lane).sum(-1)
+        scores = self._val_device_cider.score_rows(
+            wids, jnp.arange(self._val_n), dev=vconsts["cider"]
+        )
+        return scores.mean()
 
     def test_score(self, theta) -> float:
         bs = self.config.val_batch_size or self.config.batch_size or 64

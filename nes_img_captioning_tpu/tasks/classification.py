@@ -52,6 +52,7 @@ class MnistTask(Task):
     def _replicate_device_state(self, place):
         for ds in (self.train, self.val, self.test):
             ds.arrays = {k: place(v) for k, v in ds.arrays.items()}
+        self._val_dev_cache = None  # rebuilt from the re-homed arrays
 
     # ---- fitness ---------------------------------------------------------------
 
@@ -97,6 +98,36 @@ class MnistTask(Task):
         bs = self.config.val_batch_size or self.config.batch_size or 64
         bs = min(bs, self.val.n)
         return self._acc_batched(theta, self.val["x"], self.val["y"], bs)
+
+    def device_val_consts(self) -> dict:
+        """Pre-batched val arrays for in-program validation — exactly the
+        slicing _acc_batched applies, cached (same device buffers each call
+        so the fused program's operands don't churn)."""
+        if getattr(self, "_val_dev_cache", None) is None:
+            bs = self.config.val_batch_size or self.config.batch_size or 64
+            bs = min(bs, self.val.n)
+            xs, ys = self.val["x"], self.val["y"]
+            n_batches = xs.shape[0] // bs
+            if self.config.num_val_batches:
+                n_batches = min(n_batches, self.config.num_val_batches)
+            n_batches = max(n_batches, 1)
+            use = min(n_batches * bs, xs.shape[0])
+            self._val_dev_cache = {
+                "xb": xs[:use].reshape(-1, bs, *xs.shape[1:])[:n_batches],
+                "yb": ys[:use].reshape(-1, bs)[:n_batches],
+            }
+        return self._val_dev_cache
+
+    def validate_device(self, theta, vconsts):
+        """Traced mean of per-batch accuracies — the same math as
+        _acc_batched's jitted body, usable inside a larger program."""
+        def one(x, y):
+            pred = jnp.argmax(self.model.apply(theta, x), axis=-1)
+            return jnp.mean((pred == y).astype(jnp.float32))
+
+        return jnp.mean(
+            jax.lax.map(lambda a: one(*a), (vconsts["xb"], vconsts["yb"]))
+        )
 
     def test_score(self, theta) -> float:
         bs = self.config.val_batch_size or self.config.batch_size or 64

@@ -125,9 +125,12 @@ def main():
 
     acc = master.stats.acc_stats()
     fits = master.stats.score_stats()[2]  # max series
+    times = list(master.stats.time_stats())
+    tail = times[len(times) // 2:] or times
     out = {
         "generations": len(acc),
         "wall_s": round(wall, 1),
+        "sec_per_gen_median_tail": round(float(np.median(tail)), 3),
         "val_cider_first": acc[0],
         "val_cider_last": acc[-1],
         "val_cider_best": max(acc),

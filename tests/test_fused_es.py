@@ -1,0 +1,184 @@
+"""Fused ES generation: in-program validation + one-dispatch generation.
+
+The ES master loop historically paid per generation: C host validations
+(each many decode dispatches + host scoring), one eval dispatch, and two
+materialize dispatches. The fused path runs the whole generation — parent
+assembly, offspring sweep, truncation selection, winner/candidate
+materialization, and candidate validation — as ONE program with one result
+pull (mirroring the NES fused generation). These tests pin (a) device
+validation == host validation, and (b) fused trajectories == unfused.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from nes_img_captioning_tpu.data.synthetic import make_synthetic_coco
+from nes_img_captioning_tpu.utils.config import Config, TpuConfig
+
+
+@pytest.fixture(scope="module")
+def coco_fixture(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cocodata_fused")
+    return make_synthetic_coco(str(d), n_train=48, n_val=11, n_test=8,
+                               vocab_size=30, fc_feat_size=24)
+
+
+def test_mnist_validate_device_matches_host():
+    from nes_img_captioning_tpu.tasks.classification import MnistTask
+
+    exp = {"policy_options": {"net": "mnist", "vbn": False},
+           "data_root": "/nonexistent", "synthetic_sizes": (128, 48)}
+    task = MnistTask(exp, Config(batch_size=16, val_batch_size=16,
+                                 num_val_batches=2), TpuConfig(seed=0))
+    theta = task.generate_theta(jax.random.PRNGKey(0))
+    host = task.validate(theta)
+    vconsts = task.device_val_consts()
+    dev = float(jax.jit(task.validate_device)(theta, vconsts))
+    np.testing.assert_allclose(dev, host, rtol=1e-6, atol=1e-7)
+
+
+def _es_exp(copts, log_dir, **over):
+    return {
+        "algorithm": "nic_es",
+        "config": {
+            "eval_prob": 0.006, "noise_stdev": 0.05, "snapshot_freq": 2,
+            "batch_size": 8, "val_batch_size": 4, "num_val_items": 10,
+            "patience": 0, "schedule_start": 1000, "schedule_limit": 1000,
+            "stdev_divisor": 1, "bs_multiplier": 1, "stepsize_divisor": 1,
+            "l2coeff": 0.0, "single_batch": True,
+        },
+        "policy_options": {
+            "net": "fc_caption", "fitness": "greedy", "vbn": False,
+            "model_options": {
+                "safe_mutations": over.pop("safe_mutations", ""),
+                "input_encoding_size": 16, "rnn_size": 16,
+                "fc_feat_size": 24,
+            },
+        },
+        "dataset": "mscoco",
+        "nb_offspring": over.pop("nb_offspring", 8),
+        "population_size": over.pop("population_size", 5),
+        "selection": over.pop("selection", "uniform"),
+        "tournament_size": over.pop("tournament_size", 0),
+        "num_elites": 2,
+        "num_elite_cands": 2,
+        "caption_options": copts,
+        "log_dir": log_dir,
+        "tpu": over.pop("tpu", {"seed": 5}),
+        **over,
+    }
+
+
+@pytest.mark.slow
+def test_fused_es_matches_plain_trajectory(coco_fixture, tmp_path):
+    """The one-dispatch fused generation must reproduce the plain
+    host-choreographed trajectory: same fitness series, same podium/accuracy
+    series (device vs host validation differ only at f32 level), same final
+    parent bytes, same z_info surface."""
+    import glob
+    import json
+    import os
+
+    from nes_img_captioning_tpu.algorithms.es import ESMaster
+
+    results = {}
+    for fused in (False, True):
+        exp = _es_exp(dict(coco_fixture), str(tmp_path / f"run{fused}"),
+                      safe_mutations="SM-PROPORTIONAL",
+                      tpu={"seed": 5, "fused_es": fused})
+        master = ESMaster(exp)
+        calls = {"n": 0}
+        orig = master.engine.fused_generation
+
+        def spy(*a, _o=orig, _c=calls, **k):
+            _c["n"] += 1
+            return _o(*a, **k)
+
+        master.engine.fused_generation = spy
+        master.run_master(max_iterations=5)
+        # generation 1 is always plain (seeds the fused state); 2-5 fused
+        assert calls["n"] == (4 if fused else 0)
+        sel = (np.asarray(master._selected_dev)[: master._n_selected]
+               if master.parents_mat is None
+               else np.asarray(master.parents_mat))
+        elite_rows = [
+            master.task.spec.load_pth(p)
+            for p in master._parent_paths if p is not None
+        ]
+        results[fused] = {
+            "stats": master.stats.to_dict(),
+            "elites": elite_rows,
+            "children": sel,
+            "n_parents": master._n_parents,
+            "zinfo": sorted(glob.glob(
+                str(tmp_path / f"run{fused}" / "snapshot" / "z_info_*.json")
+            )),
+        }
+
+    a, b = results[False], results[True]
+    for key in ("score_stats", "acc_stats", "best_acc_so_far_stats",
+                "norm_stats", "noise_std_stats"):
+        np.testing.assert_allclose(
+            np.asarray(a["stats"][key], np.float64),
+            np.asarray(b["stats"][key], np.float64),
+            rtol=1e-4, atol=1e-5, err_msg=key,
+        )
+    assert a["n_parents"] == b["n_parents"]
+    assert len(a["elites"]) == len(b["elites"])
+    for ea, eb in zip(a["elites"], b["elites"]):
+        np.testing.assert_allclose(ea, eb, rtol=1e-5, atol=1e-6)
+    # plain keeps the padded matrix; compare the true child rows
+    n_children = a["n_parents"] - len(a["elites"])
+    np.testing.assert_allclose(
+        a["children"][len(a["elites"]):][:n_children],
+        b["children"][:n_children], rtol=1e-5, atol=1e-6,
+    )
+    # z_info surface: same keys, parents/elites files exist on both
+    assert len(a["zinfo"]) == len(b["zinfo"]) == 1
+    for z in (a["zinfo"][0], b["zinfo"][0]):
+        infos = json.loads(open(z).read())
+        assert len(infos["parents"]) > 0
+        for _, path in infos["parents"] + infos["elites_to_evaluate"]:
+            assert os.path.isfile(path), path
+
+
+def test_fused_es_on_virtual_mesh(coco_fixture, tmp_path):
+    """Fused generations with the population sharded over the 8 virtual
+    devices (the dryrun convention for multi-chip)."""
+    from nes_img_captioning_tpu.algorithms.es import ESMaster
+
+    exp = _es_exp(dict(coco_fixture), str(tmp_path / "run"),
+                  selection="tournament", tournament_size=3,
+                  tpu={"seed": 5, "mesh_shape": [8], "pop_chunk": 8})
+    master = ESMaster(exp)
+    master.run_master(max_iterations=3)
+    assert master.parents_mat is None  # fused path took over
+    assert len(master.stats.score_stats()[1]) == 3
+    assert np.isfinite(master.stats.score_stats()[1]).all()
+
+
+def test_coco_validate_device_matches_host(coco_fixture):
+    from nes_img_captioning_tpu.tasks.captioning import CocoTask
+
+    exp = {
+        "dataset": "mscoco", "caption_options": dict(coco_fixture),
+        "policy_options": {
+            "fitness": "greedy", "vbn": False,
+            "model_options": {"input_encoding_size": 16, "rnn_size": 16,
+                              "fc_feat_size": 24},
+        },
+    }
+    # val_batch_size 4 over 11 items exercises the ragged-tail chunking on
+    # both paths; num_val_items caps the subset like the reference config
+    task = CocoTask(exp, Config(batch_size=8, val_batch_size=4,
+                                num_val_items=10), TpuConfig(seed=0))
+    assert task.device_val_consts() is not None
+    for seed in (0, 3):
+        theta = task.generate_theta(jax.random.PRNGKey(seed))
+        host = task.validate(theta)
+        dev = float(jax.jit(task.validate_device)(
+            theta, task.device_val_consts()
+        ))
+        np.testing.assert_allclose(dev, host, rtol=2e-5, atol=2e-6)

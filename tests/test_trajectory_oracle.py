@@ -121,7 +121,10 @@ def test_es_selection_trajectory_matches_oracle(tmp_path):
         "data_root": "/nonexistent",
         "synthetic_sizes": (256, 64),
         "log_dir": str(tmp_path / "run"),
-        "tpu": {"seed": 11},
+        # the oracle replays the host-choreographed (reference-cadence)
+        # path; the fused path is proven equivalent to it separately
+        # (tests/test_fused_es.py)
+        "tpu": {"seed": 11, "fused_es": False},
     }
     master = ESMaster(exp)
     engine = master.engine

@@ -491,10 +491,18 @@ class ESMaster:
             return
         from ..ops.sensitivity import calc_sensitivities
 
+        # tpu.sensitivity_batch: Jacobian over a subsampled batch (the
+        # reference's own forward_for_sensitivity already truncates decode
+        # steps for cheapness — principled approximation is in-genre);
+        # 0 = full batch, reference parity
+        idx_s = np.asarray(idx_row, np.int32)
+        k = getattr(self.tpu_cfg, "sensitivity_batch", 0)
+        if k:
+            idx_s = idx_s[: min(k, idx_s.shape[0])]
         # idx as a host array: auto-replicated by the jit in both single-
         # and multi-controller execution
         self._sens_mat = calc_sensitivities(
-            self.task, self.parents_mat, np.asarray(idx_row, np.int32),
+            self.task, self.parents_mat, idx_s,
             self.mutation, self._underflow,
             matmul_precision=self.tpu_cfg.sensitivity_precision,
         )

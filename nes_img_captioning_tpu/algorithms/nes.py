@@ -562,8 +562,12 @@ class NESMaster:
 
             mopts = self.exp["policy_options"].get("model_options", {})
             underflow = mopts.get("safe_mutation_underflow", 0.01)
+            idx_s = np.asarray(idx_row)
+            k = getattr(self.tpu_cfg, "sensitivity_batch", 0)
+            if k:  # Jacobian over a subsampled batch (tpu.sensitivity_batch)
+                idx_s = idx_s[: min(k, idx_s.shape[0])]
             self._sens = calc_sensitivity(
-                self.task, self.theta, idx_row, self.mutation, underflow
+                self.task, self.theta, idx_s, self.mutation, underflow
             )
         elif self.mutation is MutationKind.SAFE_VECTOR:
             pass  # set once at startup via set_sensitivity_vector

@@ -104,6 +104,7 @@ class CocoTask(Task):
         self._wire_dtype = (
             jnp.int16 if self.data.vocab_size < 32767 else jnp.int32
         )
+        self._sens_split = getattr(tpu_cfg, "sensitivity_split", 100) or 100
 
         # on-chip CIDEr-D fitness (ops/cider_device.py): eliminates the
         # per-generation token transfer + host scoring — only the (F, 2)
@@ -555,8 +556,10 @@ class CocoTask(Task):
     def sensitivity_forward(self, theta, idx, consts=None):
         """Grouped logprobs after 5 greedy steps (reference:
         captioning/nets.py:22-70; our batches are already image-unique so the
-        reference's 5x-dedup is a no-op)."""
+        reference's 5x-dedup is a no-op). ``tpu.sensitivity_split`` widens
+        the vocab grouping (reference value 100); each group is one VJP row
+        of the SM-G Jacobian."""
         train_fc = self.train_fc if consts is None else consts["train_fc"]
         return self.model.forward_for_sensitivity(
-            theta, train_fc[idx], length=5, split=100
+            theta, train_fc[idx], length=5, split=self._sens_split
         )

@@ -63,6 +63,17 @@ class TpuConfig:
     # parity, default) | "bfloat16" (~3x faster, ~1e-2 relative error on a
     # noise-scaling heuristic). ES-only hot path; see docs/RESULTS.md.
     sensitivity_precision: str = "float32"
+    # SM-G-* cost levers (docs/RESULTS.md "SM-G sensitivity levers"):
+    # sensitivity_batch subsamples the generation's batch to its first k
+    # rows for the Jacobian only (0 = full batch, reference parity);
+    # sensitivity_split widens the vocab-grouping of the captioning
+    # sensitivity output (reference hard-codes 100,
+    # src/captioning/nets.py:64-70 — fewer groups = fewer VJP rows).
+    # NOTE: a wider split computes a COARSER SM-G-SUM (the noise scale on
+    # the unclamped tail shifts ~2x at 400) — a semantic knob, not a
+    # speed-only one; see docs/RESULTS.md fidelity table.
+    sensitivity_batch: int = 0
+    sensitivity_split: int = 100
     # generations chained per device dispatch (fused fitness path only; one
     # dispatch costs ~100 ms through a tunneled chip, dwarfing ~20 ms of
     # compute). >1 requires patience=0; blocks never span validation,

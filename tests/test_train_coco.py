@@ -172,6 +172,48 @@ def test_coco_sensitivity_smoke(coco_fixture, tmp_path):
     assert sens.min() >= 1.0 and np.isfinite(sens).all()
 
 
+def test_sensitivity_lever_knobs(coco_fixture):
+    """tpu.sensitivity_batch / sensitivity_split (SM-G cost levers,
+    docs/RESULTS.md): the subsampled-batch Jacobian equals the full
+    computation restricted to those rows; a wider split changes the grouped
+    output's width, not its finiteness/clamping."""
+    import jax
+    import jax.numpy as jnp
+
+    from nes_img_captioning_tpu.ops.mutation import MutationKind
+    from nes_img_captioning_tpu.ops.sensitivity import calc_sensitivity
+    from nes_img_captioning_tpu.tasks.captioning import CocoTask
+    from nes_img_captioning_tpu.utils.config import Config, TpuConfig
+
+    exp = {
+        "dataset": "mscoco", "caption_options": dict(coco_fixture),
+        "policy_options": {"fitness": "greedy", "model_options": {
+            "input_encoding_size": 8, "rnn_size": 8, "fc_feat_size": 32}},
+    }
+    cfg = Config(batch_size=8)
+    idx = np.arange(8, dtype=np.int32)
+
+    t100 = CocoTask(exp, cfg, TpuConfig(seed=0))
+    theta = jnp.asarray(t100.generate_theta(jax.random.PRNGKey(0)))
+    # tiny underflow: at these dims a realistic clamp would swallow every
+    # entry and make full == sub trivially
+    full = np.asarray(calc_sensitivity(
+        t100, theta, jnp.asarray(idx), MutationKind.SAFE_GRAD_SUM, 1e-9))
+    sub = np.asarray(calc_sensitivity(
+        t100, theta, jnp.asarray(idx[:4]), MutationKind.SAFE_GRAD_SUM, 1e-9))
+    assert full.shape == sub.shape and np.isfinite(sub).all()
+    assert not np.allclose(full, sub)  # genuinely fewer rows, not a no-op
+    # split width changes only the grouped-output resolution
+    t25 = CocoTask(exp, cfg, TpuConfig(seed=0, sensitivity_split=25))
+    assert t25._sens_split == 25
+    k100 = t100.sensitivity_forward(theta, jnp.asarray(idx)).shape[1]
+    k25 = t25.sensitivity_forward(theta, jnp.asarray(idx)).shape[1]
+    assert k25 > k100  # narrower groups -> more VJP rows; 25 < 100
+    wide = np.asarray(calc_sensitivity(
+        t25, theta, jnp.asarray(idx), MutationKind.SAFE_GRAD_SUM, 0.1))
+    assert np.isfinite(wide).all() and wide.min() >= 1.0
+
+
 def test_coco_es_from_single_list(coco_fixture, tmp_path):
     """ES warm start from a LIST of .pth files (reference init_from_singles,
     nic_es/iteration.py:63-81): each file becomes a parent and the first

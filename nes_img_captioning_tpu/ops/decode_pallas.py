@@ -52,8 +52,9 @@ def _kernel(seed_ref, feats_ref, img_w_ref, img_b_ref, i2h_w_ref, i2h_b_ref,
             h2h_w_ref, h2h_b_ref, logit_w_ref, logit_b_ref, embed_ref,
             gumbel_ref,
             seq_ref, lp_ref, h_ref, c_ref, tok_ref, unfin_ref, alive_ref,
+            xt_ref,
             *, seq_length: int, rnn_size: int, greedy: bool,
-            host_rng: bool, need_logprobs: bool):
+            host_rng: bool, need_logprobs: bool, vocab_tile: int = 0):
     R = rnn_size
     f32 = jnp.float32
 
@@ -102,13 +103,79 @@ def _kernel(seed_ref, feats_ref, img_w_ref, img_b_ref, i2h_w_ref, i2h_b_ref,
 
     # loop state lives in scratch refs (Mosaic does not legalize scf.for
     # with vector carries), so the fori_loop carries nothing
+    E = embed_ref.shape[1]
+
+    def embed_streamed(dt):
+        """Next-token embedding over vocab tiles with PREDICATED skip: only
+        tiles that contain some row's token pay their one-hot matmul.
+        Trained captioners emit a small frequent-word working set, so most
+        tiles skip; exactly one tile contributes per row, so the f32
+        accumulation equals the untiled matmul bitwise."""
+        xt_ref[:] = jnp.zeros((B, E), f32)
+        for lo in range(0, Vpad, vocab_tile):
+            hi = lo + vocab_tile
+            in_tile = (tok_ref[:] >= lo) & (tok_ref[:] < hi)
+
+            @pl.when(jnp.any(in_tile))
+            def _tile(lo=lo, hi=hi):
+                col_t = jax.lax.broadcasted_iota(
+                    jnp.int32, (B, vocab_tile), 1
+                ) + lo
+                onehot_t = (col_t == tok_ref[:]).astype(dt)
+                xt_ref[:] += dott(onehot_t, embed_ref[lo:hi])
+        return xt_ref[:]
+
+    def logits_streamed(h, dt):
+        """Streaming max/argmax (+ online logsumexp) over vocab tiles —
+        never materializes the (B, Vpad) logits. Strict > keeps the first
+        max, matching jnp.argmax tie semantics exactly; the online lse
+        reassociates the sum (f32-level lp differences only)."""
+        run_max = jnp.full((B, 1), NEG, f32)
+        run_arg = jnp.zeros((B, 1), jnp.int32)
+        run_sum = jnp.zeros((B, 1), f32)
+        for lo in range(0, Vpad, vocab_tile):
+            logits_t = dott(h, logit_w_ref[:, lo:lo + vocab_tile]) \
+                + logit_b_ref[:, lo:lo + vocab_tile]
+            mx_t = jnp.max(logits_t, axis=1, keepdims=True)
+            arg_t = jnp.argmax(logits_t, axis=1).astype(
+                jnp.int32
+            )[:, None] + lo
+            if need_logprobs:
+                new_max = jnp.maximum(run_max, mx_t)
+                run_sum = run_sum * jnp.exp(run_max - new_max) + jnp.sum(
+                    jnp.exp(logits_t - new_max), axis=1, keepdims=True
+                )
+            else:
+                new_max = jnp.maximum(run_max, mx_t)
+            run_arg = jnp.where(mx_t > run_max, arg_t, run_arg)
+            run_max = new_max
+        lse = run_max + jnp.log(run_sum) if need_logprobs else None
+        return run_arg, run_max, lse
+
     def step(t, _):
         @pl.when(alive_ref[0] > 0)
         def _active_step():
-            onehot = (col == tok_ref[:]).astype(dt)
-            xt = dott(onehot, embed_ref[:])
+            if vocab_tile:
+                xt = embed_streamed(dt)
+            else:
+                onehot = (col == tok_ref[:]).astype(dt)
+                xt = dott(onehot, embed_ref[:])
             h, c = lstm(xt.astype(dt), h_ref[:], c_ref[:])
             h_ref[:], c_ref[:] = h, c
+
+            if vocab_tile and greedy:
+                tok, mx, lse = logits_streamed(h.astype(dt), dt)
+                lp_tok = (mx - lse)[:, 0] if need_logprobs else jnp.zeros(
+                    (B,), f32
+                )
+                unfinished = unfin_ref[:] * (tok > 0).astype(jnp.int32)
+                tok = tok * unfinished
+                seq_ref[pl.ds(t, 1), :] = tok[:, 0][None, :]
+                lp_ref[pl.ds(t, 1), :] = lp_tok[None, :]
+                tok_ref[:] = tok
+                unfin_ref[:] = unfinished
+                alive_ref[0] = jnp.where(jnp.any(unfinished > 0), 1, 0)
+                return
 
             logits = dott(h.astype(dt), logit_w_ref[:]) + logit_b_ref[:]
             if need_logprobs:
@@ -170,12 +237,12 @@ def _kernel(seed_ref, feats_ref, img_w_ref, img_b_ref, i2h_w_ref, i2h_b_ref,
 
 @functools.partial(
     jax.jit, static_argnames=("seq_length", "greedy", "interpret", "host_rng",
-                              "need_logprobs")
+                              "need_logprobs", "vocab_tile")
 )
 def decode_fused(params: dict, feats, seq_length: int = 16,
                  greedy: bool = True, seed=0, interpret: bool = False,
                  host_rng: bool = False, gumbel=None,
-                 need_logprobs: bool = True):
+                 need_logprobs: bool = True, vocab_tile: int = 0):
     """One member's greedy or multinomial decode with VMEM-resident weights.
 
     params: dict from ``prepare_decode_params`` (vocab axis padded, biases
@@ -184,19 +251,31 @@ def decode_fused(params: dict, feats, seq_length: int = 16,
     ``gumbel`` (T, B, Vpad) table instead of the on-chip PRNG (testable in
     interpret mode, which lacks prng lowering). Returns (seq (B, T) int32,
     lp (B, T) f32).
+
+    ``vocab_tile`` (greedy only; a lane multiple dividing Vpad): streaming
+    variant — the logit pass keeps only running max/argmax/logsumexp per
+    vocab tile (never materializing (B, Vpad) logits) and the embedding pass
+    skips tiles containing no row's token. Token-exact vs the untiled
+    kernel; logprobs reassociate at f32 level.
     """
     B = feats.shape[0]
     R = params["h2h_w"].shape[0]
     Vpad = params["embed"].shape[0]
     dt = params["img_w"].dtype
+    if vocab_tile:
+        assert greedy, "vocab_tile is a greedy-decode variant"
+        assert vocab_tile % PAD_LANE == 0 and Vpad % vocab_tile == 0, \
+            f"vocab_tile={vocab_tile} must be a lane multiple dividing {Vpad}"
     if gumbel is None:
         gumbel = jnp.zeros((1, 1, Vpad), jnp.float32)  # placeholder operand
 
     kernel = functools.partial(
         _kernel, seq_length=seq_length, rnn_size=R, greedy=greedy,
         host_rng=host_rng, need_logprobs=need_logprobs,
+        vocab_tile=vocab_tile,
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    E = params["embed"].shape[1]
     seq_t, lp_t = pl.pallas_call(
         kernel,
         out_shape=(
@@ -211,6 +290,7 @@ def decode_fused(params: dict, feats, seq_length: int = 16,
             pltpu.VMEM((B, 1), jnp.int32),      # current token
             pltpu.VMEM((B, 1), jnp.int32),      # per-row unfinished mask
             pltpu.SMEM((1,), jnp.int32),        # batch-wide alive flag
+            pltpu.VMEM((B, E), jnp.float32),    # streamed-embed accumulator
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,

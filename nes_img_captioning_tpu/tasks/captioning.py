@@ -105,6 +105,7 @@ class CocoTask(Task):
             jnp.int16 if self.data.vocab_size < 32767 else jnp.int32
         )
         self._sens_split = getattr(tpu_cfg, "sensitivity_split", 100) or 100
+        self._vocab_tile = int(getattr(tpu_cfg, "decode_vocab_tile", 0) or 0)
 
         # on-chip CIDEr-D fitness (ops/cider_device.py): eliminates the
         # per-generation token transfer + host scoring — only the (F, 2)
@@ -204,6 +205,7 @@ class CocoTask(Task):
                 seq_length=self.model.options.seq_length,
                 need_logprobs=need_logprobs,
                 interpret=self._fused_interpret,
+                vocab_tile=self._vocab_tile,
             )
         return self.model.sample(theta, feats, greedy=True)
 
@@ -286,7 +288,8 @@ class CocoTask(Task):
         def greedy():
             return decode_fused(params, feats, seq_length=T,
                                 need_logprobs=False,
-                                interpret=self._fused_interpret)[0]
+                                interpret=self._fused_interpret,
+                                vocab_tile=self._vocab_tile)[0]
 
         if self.fitness_kind == "greedy":
             seq = greedy()
@@ -524,7 +527,8 @@ class CocoTask(Task):
 
                 return decode_fused(params, f, seq_length=T,
                                     need_logprobs=False,
-                                    interpret=self._fused_interpret)[0]
+                                    interpret=self._fused_interpret,
+                                    vocab_tile=self._vocab_tile)[0]
             return self.model.sample(theta, f, greedy=True)[0]
 
         seqs = jax.lax.map(chunk, vconsts["feats"])  # (K, bs, T)

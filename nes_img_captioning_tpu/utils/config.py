@@ -74,6 +74,11 @@ class TpuConfig:
     # speed-only one; see docs/RESULTS.md fidelity table.
     sensitivity_batch: int = 0
     sensitivity_split: int = 100
+    # streaming-softmax greedy decode: tile the vocab axis of the fused
+    # kernel's logit/embed passes (a lane multiple dividing the padded
+    # vocab; 0 = untiled). Token-exact vs untiled (tested); see
+    # docs/RESULTS.md "streaming vocab tiles" for when it wins.
+    decode_vocab_tile: int = 0
     # generations chained per device dispatch (fused fitness path only; one
     # dispatch costs ~100 ms through a tunneled chip, dwarfing ~20 ms of
     # compute). >1 requires patience=0; blocks never span validation,

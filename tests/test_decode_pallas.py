@@ -103,3 +103,30 @@ def test_padded_vocab_never_selected():
         prepare_decode_params(m.spec, theta, opts), feats, interpret=True
     )
     assert int(np.asarray(seq_p).max()) <= opts.vocab_size
+
+
+@pytest.mark.parametrize("vocab_tile", [128, 256])
+def test_streamed_vocab_tiles_token_exact(vocab_tile):
+    """The streaming (tiled) greedy variant must be TOKEN-EXACT vs the
+    untiled kernel — including argmax tie semantics (strict > keeps the
+    first max) and the predicated embed-tile skip — with logprobs equal up
+    to the online-logsumexp reassociation."""
+    from nes_img_captioning_tpu.ops.decode_pallas import decode_fused
+
+    opts = FCModelOptions(vocab_size=130, fc_feat_size=32,
+                          input_encoding_size=16, rnn_size=16)
+    m = FCCaptionModel(opts)
+    theta = m.spec.init_theta(jax.random.PRNGKey(7))
+    feats = jnp.asarray(
+        np.random.default_rng(2).normal(size=(8, 32)).astype(np.float32)
+    )
+    params = prepare_decode_params(m.spec, theta, opts)
+    seq_u, lp_u = decode_fused(params, feats, interpret=True)
+    seq_t, lp_t = decode_fused(params, feats, interpret=True,
+                               vocab_tile=vocab_tile)
+    np.testing.assert_array_equal(np.asarray(seq_t), np.asarray(seq_u))
+    np.testing.assert_allclose(np.asarray(lp_t), np.asarray(lp_u), atol=2e-5)
+    # and without the logprob reductions (the fitness hot path)
+    seq_t2, _ = decode_fused(params, feats, interpret=True,
+                             vocab_tile=vocab_tile, need_logprobs=False)
+    np.testing.assert_array_equal(np.asarray(seq_t2), np.asarray(seq_u))

@@ -46,10 +46,16 @@ __all__ = ["ESEngine", "ESMaster"]
 
 class ESEngine(PopulationEngine):
     def __init__(self, task, mutation: MutationKind, mesh=None,
-                 pop_chunk: int = 0, rng_impl: str = ""):
+                 pop_chunk: int = 0, rng_impl: str = "",
+                 sens_underflow: float = 0.01,
+                 sens_precision: str = "float32"):
         super().__init__(task, mesh=mesh, pop_chunk=pop_chunk,
                          rng_impl=rng_impl)
         self.mutation = mutation
+        # SM-G in-program sensitivity parameters (fused generation only;
+        # the unfused path gets them per-call via calc_sensitivities)
+        self._sens_underflow = float(sens_underflow)
+        self._sens_precision = sens_precision
 
         # multi-controller: replicated outputs so the host can fetch
         # fitnesses / materialized thetas (single-controller: None = default)
@@ -129,7 +135,7 @@ class ESEngine(PopulationEngine):
 
     def _fused_generation_fn(self, elite_rows, n_valid, selected_prev,
                              sens_mat, sigma, seeds, pidx, sidx, idx_row,
-                             policy, consts, vconsts,
+                             sens_idx, policy, consts, vconsts,
                              n_offspring, n_keep, n_cands):
         """One WHOLE ES generation as a single program (mirrors the NES
         fused generation): assemble the parent matrix from podium-elite rows
@@ -156,6 +162,27 @@ class ESEngine(PopulationEngine):
         oh = jax.nn.one_hot(ridx, P, dtype=pool.dtype)
         # HIGHEST = bit-exact row selection (see _select_row)
         parents = jnp.matmul(oh, pool, precision=jax.lax.Precision.HIGHEST)
+
+        if self.mutation in (MutationKind.SAFE_GRAD_SUM,
+                             MutationKind.SAFE_GRAD_ABS):
+            # SM-G per-parent sensitivities IN-PROGRAM from the assembled
+            # parents (the unfused path pays a separate dispatch + host
+            # choreography for this — _update_sensitivities). sidx = pidx
+            # selects each child's parent row of this matrix; pad rows
+            # duplicate real parents and are never drawn.
+            from ..ops.sensitivity import (
+                abs_sens_many_traced,
+                postprocess,
+                sum_sens_many_traced,
+            )
+
+            fwd = self.task.sensitivity_forward
+            if self.mutation is MutationKind.SAFE_GRAD_SUM:
+                raw = sum_sens_many_traced(fwd, parents, sens_idx, consts,
+                                           self._sens_precision)
+            else:
+                raw = abs_sens_many_traced(fwd, parents, sens_idx, consts)
+            sens_mat = postprocess(raw, self._sens_underflow)
 
         def one(seed, pi, si):
             child = self._child(parents, sens_mat, sigma, seed, pi, si)
@@ -214,17 +241,21 @@ class ESEngine(PopulationEngine):
     def fused_generation(self, elite_rows, n_valid: int, selected_prev,
                          sens_mat, sigma, seeds: np.ndarray,
                          pidx: np.ndarray, idx_row: np.ndarray, policy,
-                         n_cands: int):
+                         n_cands: int, sens_idx: np.ndarray | None = None):
         """Host entry for the one-dispatch generation. elite_rows (E, dim)
         and selected_prev (S, dim) are device handles (the latter from the
         previous call); returns (packed, new_selected, new_cands) where
-        ``unpack_fused(packed, L, C)`` costs the generation's single sync."""
+        ``unpack_fused(packed, L, C)`` costs the generation's single sync.
+        ``sens_idx``: batch rows for the in-program SM-G sensitivity sweep
+        (SM-G kinds only; a 1-element inert operand otherwise)."""
         L = seeds.shape[0]
         n_chunks, chunk = self._plan(L)
         seeds_d = self._lay_out(seeds.astype(np.uint32), n_chunks, chunk)
         pidx_d = self._lay_out(pidx.astype(np.int32), n_chunks, chunk)
         sidx = self._sens_rows(pidx)
         sidx_d = self._lay_out(sidx.astype(np.int32), n_chunks, chunk)
+        if sens_idx is None:
+            sens_idx = np.zeros(1, np.int32)
         if not hasattr(self, "_fused_jit"):
             self._fused_jit = jax.jit(
                 self._fused_generation_fn,
@@ -235,7 +266,8 @@ class ESEngine(PopulationEngine):
             elite_rows, self._replicated(np.int32(n_valid)), selected_prev,
             sens_mat, self._replicated(np.float32(sigma)),
             seeds_d, pidx_d, sidx_d,
-            self._replicated(np.asarray(idx_row, np.int32)), policy,
+            self._replicated(np.asarray(idx_row, np.int32)),
+            self._replicated(np.asarray(sens_idx, np.int32)), policy,
             self.task.device_consts(), self.task.device_val_consts(),
             n_offspring=L, n_keep=selected_prev.shape[0], n_cands=n_cands,
         )
@@ -286,6 +318,8 @@ class ESMaster:
             self.task, self.mutation, mesh=mesh,
             pop_chunk=self.tpu_cfg.pop_chunk,
             rng_impl=self.tpu_cfg.rng_impl,
+            sens_underflow=self._underflow,
+            sens_precision=self.tpu_cfg.sensitivity_precision,
         )
         self._init_multihost_placement()
 
@@ -318,6 +352,9 @@ class ESMaster:
         self._n_selected = 0
         self._cand_scores_pending = None
         self._sens_mat = self._place(np.ones((1, self.engine.dim), np.float32))
+        # SM-G fused generations compute sensitivities in-program; the
+        # sens_mat operand they receive is this inert 1-row placeholder
+        self._sens_ones = self._sens_mat
         if self.mutation is MutationKind.SAFE_VECTOR:
             from .nes import _load_sensitivity_file
 
@@ -493,16 +530,11 @@ class ESMaster:
 
         # tpu.sensitivity_batch: Jacobian over a subsampled batch (the
         # reference's own forward_for_sensitivity already truncates decode
-        # steps for cheapness — principled approximation is in-genre);
-        # 0 = full batch, reference parity
-        idx_s = np.asarray(idx_row, np.int32)
-        k = getattr(self.tpu_cfg, "sensitivity_batch", 0)
-        if k:
-            idx_s = idx_s[: min(k, idx_s.shape[0])]
+        # steps for cheapness — principled approximation is in-genre).
         # idx as a host array: auto-replicated by the jit in both single-
         # and multi-controller execution
         self._sens_mat = calc_sensitivities(
-            self.task, self.parents_mat, idx_s,
+            self.task, self.parents_mat, self._sens_batch_rows(idx_row),
             self.mutation, self._underflow,
             matmul_precision=self.tpu_cfg.sensitivity_precision,
         )
@@ -522,9 +554,10 @@ class ESMaster:
 
     def _fused_capable(self) -> bool:
         """Eligibility for the one-dispatch fused generation: device-scored
-        fitness + in-program validation + a mutation kind whose sensitivity
-        rows are static (SM-G-* recomputes per-parent sensitivities from
-        each generation's parents, which needs the unfused choreography)."""
+        fitness + in-program validation. SM-G-* kinds qualify too — their
+        per-parent sensitivity sweep is computed IN-PROGRAM from the
+        assembled parents (engine._fused_generation_fn), replacing the
+        unfused path's separate _update_sensitivities dispatch."""
         cached = getattr(self, "_fused_capable_cache", None)
         if cached is not None:
             return cached
@@ -532,8 +565,6 @@ class ESMaster:
         ok = (
             want is not False
             and self.task.fitness_on_device
-            and self.mutation not in (MutationKind.SAFE_GRAD_SUM,
-                                      MutationKind.SAFE_GRAD_ABS)
             and self.exp["nb_offspring"] >= (
                 self.experiment.population_size()
                 - self.experiment.num_elites()
@@ -542,6 +573,16 @@ class ESMaster:
         )
         self._fused_capable_cache = ok
         return ok
+
+    def _sens_batch_rows(self, idx_row) -> np.ndarray:
+        """Batch rows for the SM-G Jacobian: the generation's batch,
+        optionally subsampled to its first tpu.sensitivity_batch rows
+        (docs/RESULTS.md SM-G levers; 0 = full batch, reference parity)."""
+        idx_s = np.asarray(idx_row, np.int32)
+        k = getattr(self.tpu_cfg, "sensitivity_batch", 0)
+        if k:
+            idx_s = idx_s[: min(k, idx_s.shape[0])]
+        return idx_s
 
     def _ensure_cand_file(self, path: str):
         """Lazy .pth materialization of a device-resident candidate (the
@@ -727,9 +768,13 @@ class ESMaster:
 
         seeds = self._rng.integers(0, 2**32, size=L, dtype=np.uint32)
         pidx = self._select_parent_indices(L, self._n_parents)
+        sm_g = self.mutation in (MutationKind.SAFE_GRAD_SUM,
+                                 MutationKind.SAFE_GRAD_ABS)
         packed, new_selected, new_cands = self.engine.fused_generation(
-            dev_elites, n_valid, self._selected_dev, self._sens_mat, sigma,
+            dev_elites, n_valid, self._selected_dev,
+            self._sens_ones if sm_g else self._sens_mat, sigma,
             seeds, pidx, idx_row, self.policy_theta, n_cands,
+            sens_idx=self._sens_batch_rows(idx_row) if sm_g else None,
         )
         fitness, cand_scores, norm = self.engine.unpack_fused(
             packed, L, n_cands

@@ -27,10 +27,13 @@ import jax.numpy as jnp
 
 from .mutation import MutationKind
 
-__all__ = ["calc_sensitivity", "calc_sensitivities", "sm_g_sum", "sm_g_abs"]
+__all__ = ["calc_sensitivity", "calc_sensitivities", "sm_g_sum", "sm_g_abs",
+           "sum_sens_many_traced", "abs_sens_many_traced", "postprocess"]
 
 
-def _postprocess(sens: jax.Array, underflow: float) -> jax.Array:
+def postprocess(sens: jax.Array, underflow: float) -> jax.Array:
+    """Reference post-processing (safe_mutations.py:62-63): clamp below at
+    ``underflow`` then divide by it."""
     sens = jnp.maximum(sens, underflow)
     return sens / underflow
 
@@ -66,9 +69,8 @@ def _abs_sens(forward, theta, idx, consts):
     return jnp.sqrt((J**2).sum(0))
 
 
-@partial(jax.jit, static_argnums=(0, 4))
-def _sum_sens_many(forward, thetas, idx, consts,
-                   matmul_precision: str = "float32"):
+def sum_sens_many_traced(forward, thetas, idx, consts,
+                         matmul_precision: str = "float32"):
     """SM-G-SUM for a whole (P, dim) parent matrix in ONE program: lax.map
     runs the parents sequentially so only one (K, dim) Jacobian is live at a
     time (~K*dim*4 bytes), while the single dispatch amortizes the ~100 ms
@@ -77,7 +79,11 @@ def _sum_sens_many(forward, thetas, idx, consts,
 
     ``matmul_precision``: MXU precision for the forward/VJP dots. The sweep
     is MXU-bound; "bfloat16" runs it ~3x faster at ~1e-2 relative error on
-    the sensitivities (a noise-scaling heuristic — see tpu.sensitivity_precision)."""
+    the sensitivities (a noise-scaling heuristic — see tpu.sensitivity_precision).
+
+    Traced form (pre-postprocess): also inlined into the fused ES
+    generation program (algorithms/es.py), which is why it is not jitted
+    here."""
     batch = forward(thetas[0], idx, consts).shape[0]
 
     def one(theta):
@@ -88,11 +94,14 @@ def _sum_sens_many(forward, thetas, idx, consts,
     return jax.lax.map(one, thetas)
 
 
-@partial(jax.jit, static_argnums=(0,))
-def _abs_sens_many(forward, thetas, idx, consts):
+def abs_sens_many_traced(forward, thetas, idx, consts):
     return jax.lax.map(
         lambda th: _abs_sens_scan(forward, th, idx, consts), thetas
     )
+
+
+_sum_sens_many = jax.jit(sum_sens_many_traced, static_argnums=(0, 4))
+_abs_sens_many = jax.jit(abs_sens_many_traced, static_argnums=(0,))
 
 
 def _abs_sens_scan(forward, theta, idx, consts):
@@ -121,23 +130,23 @@ def calc_sensitivities(task, thetas, idx, kind: MutationKind, underflow: float,
     forward = task.sensitivity_forward
     consts = task.device_consts()
     if kind is MutationKind.SAFE_GRAD_SUM:
-        return _postprocess(
+        return postprocess(
             _sum_sens_many(forward, thetas, idx, consts, matmul_precision),
             underflow,
         )
     if kind is MutationKind.SAFE_GRAD_ABS:
-        return _postprocess(
+        return postprocess(
             _abs_sens_many(forward, thetas, idx, consts), underflow
         )
     raise ValueError(f"no gradient sensitivity for {kind}")
 
 
 def sm_g_sum(forward, theta, idx, underflow: float, consts=None) -> jax.Array:
-    return _postprocess(_sum_sens(forward, theta, idx, consts), underflow)
+    return postprocess(_sum_sens(forward, theta, idx, consts), underflow)
 
 
 def sm_g_abs(forward, theta, idx, underflow: float, consts=None) -> jax.Array:
-    return _postprocess(_abs_sens(forward, theta, idx, consts), underflow)
+    return postprocess(_abs_sens(forward, theta, idx, consts), underflow)
 
 
 def calc_sensitivity(task, theta, idx, kind: MutationKind, underflow: float):

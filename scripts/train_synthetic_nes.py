@@ -39,6 +39,13 @@ def main():
     parser.add_argument("--val-freq", type=int, default=25)
     parser.add_argument("--data", type=str, default="/tmp/nes_train_data")
     parser.add_argument("--out", type=str, default="/tmp/nes_train_run")
+    # SM-G regime knobs (ES; docs/RESULTS.md "SM-G sensitivity levers")
+    parser.add_argument("--safe-mutations", type=str, default="")
+    parser.add_argument("--sens-batch", type=int, default=0)
+    parser.add_argument("--sens-split", type=int, default=100)
+    parser.add_argument("--sens-precision", type=str, default="float32")
+    parser.add_argument("--no-fused-es", action="store_true",
+                        help="force the host-choreographed ES path")
     args = parser.parse_args()
 
     import jax
@@ -114,6 +121,18 @@ def main():
         exp["selection"] = "uniform"
         exp["tpu"].pop("gens_per_dispatch", None)
         exp["tpu"].pop("val_freq", None)
+        if args.safe_mutations:
+            exp["policy_options"]["model_options"].update(
+                safe_mutations=args.safe_mutations,
+                safe_mutation_underflow=0.01,
+            )
+            exp["tpu"].update(
+                sensitivity_batch=args.sens_batch,
+                sensitivity_split=args.sens_split,
+                sensitivity_precision=args.sens_precision,
+            )
+        if args.no_fused_es:
+            exp["tpu"]["fused_es"] = False
         from nes_img_captioning_tpu.algorithms.es import ESMaster
 
         master = ESMaster(exp)

@@ -72,11 +72,15 @@ def _es_exp(copts, log_dir, **over):
 
 
 @pytest.mark.slow
-def test_fused_es_matches_plain_trajectory(coco_fixture, tmp_path):
+@pytest.mark.parametrize("safe_mutations", ["SM-PROPORTIONAL", "SM-G-SUM"])
+def test_fused_es_matches_plain_trajectory(coco_fixture, tmp_path,
+                                           safe_mutations):
     """The one-dispatch fused generation must reproduce the plain
     host-choreographed trajectory: same fitness series, same podium/accuracy
     series (device vs host validation differ only at f32 level), same final
-    parent bytes, same z_info surface."""
+    parent bytes, same z_info surface. SM-G-SUM additionally exercises the
+    IN-PROGRAM per-parent sensitivity sweep vs the plain path's separate
+    calc_sensitivities dispatch."""
     import glob
     import json
     import os
@@ -86,7 +90,7 @@ def test_fused_es_matches_plain_trajectory(coco_fixture, tmp_path):
     results = {}
     for fused in (False, True):
         exp = _es_exp(dict(coco_fixture), str(tmp_path / f"run{fused}"),
-                      safe_mutations="SM-PROPORTIONAL",
+                      safe_mutations=safe_mutations,
                       tpu={"seed": 5, "fused_es": fused})
         master = ESMaster(exp)
         calls = {"n": 0}

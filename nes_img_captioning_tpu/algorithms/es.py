@@ -207,7 +207,9 @@ class ESEngine(PopulationEngine):
             ))(js)
 
         new_selected = materialize(order[:n_keep])
-        new_cands = materialize(order[:n_cands])
+        # candidates = top-n_cands children = a prefix of the selected rows
+        # (same sorted order; n_cands <= n_keep enforced by _fused_capable)
+        new_cands = new_selected[:n_cands]
         cand_scores = jax.lax.map(
             lambda th: self.task.validate_device(th, vconsts), new_cands
         )
@@ -562,12 +564,18 @@ class ESMaster:
         if cached is not None:
             return cached
         want = getattr(self.tpu_cfg, "fused_es", "auto")
+        n_keep = (self.experiment.population_size()
+                  - self.experiment.num_elites())
         ok = (
             want is not False
             and self.task.fitness_on_device
-            and self.exp["nb_offspring"] >= (
-                self.experiment.population_size()
-                - self.experiment.num_elites()
+            and self.exp["nb_offspring"] >= n_keep
+            # candidates = a prefix of the selected children in the fused
+            # program; degenerate configs (more cands than offspring or
+            # kept children) would mis-slice the packed result layout —
+            # the plain path handles them gracefully
+            and self.experiment.num_elite_cands() <= min(
+                n_keep, self.exp["nb_offspring"]
             )
             and self.task.device_val_consts() is not None
         )
@@ -575,14 +583,11 @@ class ESMaster:
         return ok
 
     def _sens_batch_rows(self, idx_row) -> np.ndarray:
-        """Batch rows for the SM-G Jacobian: the generation's batch,
-        optionally subsampled to its first tpu.sensitivity_batch rows
-        (docs/RESULTS.md SM-G levers; 0 = full batch, reference parity)."""
-        idx_s = np.asarray(idx_row, np.int32)
-        k = getattr(self.tpu_cfg, "sensitivity_batch", 0)
-        if k:
-            idx_s = idx_s[: min(k, idx_s.shape[0])]
-        return idx_s
+        from ..ops.sensitivity import subsample_batch_rows
+
+        return subsample_batch_rows(
+            idx_row, getattr(self.tpu_cfg, "sensitivity_batch", 0)
+        )
 
     def _ensure_cand_file(self, path: str):
         """Lazy .pth materialization of a device-resident candidate (the

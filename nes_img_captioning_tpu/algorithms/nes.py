@@ -558,14 +558,13 @@ class NESMaster:
 
     def _maybe_sensitivity(self, idx_row: np.ndarray):
         if self.mutation in (MutationKind.SAFE_GRAD_SUM, MutationKind.SAFE_GRAD_ABS):
-            from ..ops.sensitivity import calc_sensitivity
+            from ..ops.sensitivity import calc_sensitivity, subsample_batch_rows
 
             mopts = self.exp["policy_options"].get("model_options", {})
             underflow = mopts.get("safe_mutation_underflow", 0.01)
-            idx_s = np.asarray(idx_row)
-            k = getattr(self.tpu_cfg, "sensitivity_batch", 0)
-            if k:  # Jacobian over a subsampled batch (tpu.sensitivity_batch)
-                idx_s = idx_s[: min(k, idx_s.shape[0])]
+            idx_s = subsample_batch_rows(
+                idx_row, getattr(self.tpu_cfg, "sensitivity_batch", 0)
+            )
             self._sens = calc_sensitivity(
                 self.task, self.theta, idx_s, self.mutation, underflow
             )

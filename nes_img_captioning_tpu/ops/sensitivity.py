@@ -28,7 +28,22 @@ import jax.numpy as jnp
 from .mutation import MutationKind
 
 __all__ = ["calc_sensitivity", "calc_sensitivities", "sm_g_sum", "sm_g_abs",
-           "sum_sens_many_traced", "abs_sens_many_traced", "postprocess"]
+           "sum_sens_many_traced", "abs_sens_many_traced", "postprocess",
+           "subsample_batch_rows"]
+
+
+def subsample_batch_rows(idx_row, k: int):
+    """The tpu.sensitivity_batch cost lever, shared by both masters:
+    Jacobian over the first ``k`` rows of the generation's batch (0 = full
+    batch, reference parity). The reference's own forward_for_sensitivity
+    already truncates decode steps for cheapness — principled approximation
+    is in-genre (docs/RESULTS.md "SM-G sensitivity levers")."""
+    import numpy as np
+
+    idx_s = np.asarray(idx_row, np.int32)
+    if k:
+        idx_s = idx_s[: min(k, idx_s.shape[0])]
+    return idx_s
 
 
 def postprocess(sens: jax.Array, underflow: float) -> jax.Array:

@@ -73,26 +73,25 @@ class MnistTask(Task):
 
     # ---- validation -------------------------------------------------------------
 
-    def _acc_batched(self, theta, xs, ys, bs: int):
-        """Mean of per-(full-)batch accuracies, like the reference's loop
-        over equal val batches (src/classification/policies.py:47-79)."""
+    def _val_batches(self, xs, ys, bs: int) -> dict:
+        """Equal full batches of a split, like the reference's loop over val
+        batches (src/classification/policies.py:47-79) — the ONE batching
+        used by host validation, device validation, and test scoring, so
+        host/device score equivalence can't drift."""
         n_batches = xs.shape[0] // bs
         if self.config.num_val_batches:
             n_batches = min(n_batches, self.config.num_val_batches)
         n_batches = max(n_batches, 1)
         use = min(n_batches * bs, xs.shape[0])
-        xb = xs[:use].reshape(-1, bs, *xs.shape[1:])[:n_batches]
-        yb = ys[:use].reshape(-1, bs)[:n_batches]
+        return {
+            "xb": xs[:use].reshape(-1, bs, *xs.shape[1:])[:n_batches],
+            "yb": ys[:use].reshape(-1, bs)[:n_batches],
+        }
 
-        @jax.jit
-        def acc(theta, xb, yb):
-            def one(x, y):
-                pred = jnp.argmax(self.model.apply(theta, x), axis=-1)
-                return jnp.mean((pred == y).astype(jnp.float32))
-
-            return jnp.mean(jax.lax.map(lambda a: one(*a), (xb, yb)))
-
-        return float(acc(theta, xb, yb))
+    def _acc_batched(self, theta, xs, ys, bs: int):
+        if not hasattr(self, "_validate_jit"):
+            self._validate_jit = jax.jit(self.validate_device)
+        return float(self._validate_jit(theta, self._val_batches(xs, ys, bs)))
 
     def validate(self, theta) -> float:
         bs = self.config.val_batch_size or self.config.batch_size or 64
@@ -100,27 +99,20 @@ class MnistTask(Task):
         return self._acc_batched(theta, self.val["x"], self.val["y"], bs)
 
     def device_val_consts(self) -> dict:
-        """Pre-batched val arrays for in-program validation — exactly the
-        slicing _acc_batched applies, cached (same device buffers each call
-        so the fused program's operands don't churn)."""
+        """Pre-batched val arrays for in-program validation, cached (same
+        device buffers each call so the fused program's operands don't
+        churn)."""
         if getattr(self, "_val_dev_cache", None) is None:
             bs = self.config.val_batch_size or self.config.batch_size or 64
             bs = min(bs, self.val.n)
-            xs, ys = self.val["x"], self.val["y"]
-            n_batches = xs.shape[0] // bs
-            if self.config.num_val_batches:
-                n_batches = min(n_batches, self.config.num_val_batches)
-            n_batches = max(n_batches, 1)
-            use = min(n_batches * bs, xs.shape[0])
-            self._val_dev_cache = {
-                "xb": xs[:use].reshape(-1, bs, *xs.shape[1:])[:n_batches],
-                "yb": ys[:use].reshape(-1, bs)[:n_batches],
-            }
+            self._val_dev_cache = self._val_batches(
+                self.val["x"], self.val["y"], bs
+            )
         return self._val_dev_cache
 
     def validate_device(self, theta, vconsts):
-        """Traced mean of per-batch accuracies — the same math as
-        _acc_batched's jitted body, usable inside a larger program."""
+        """Traced mean of per-batch accuracies, usable inside a larger
+        program; also the body of host validation (_acc_batched)."""
         def one(x, y):
             pred = jnp.argmax(self.model.apply(theta, x), axis=-1)
             return jnp.mean((pred == y).astype(jnp.float32))

@@ -85,12 +85,12 @@ class TpuConfig:
     # schedule-annealing, or snapshot boundaries, so cadence semantics are
     # unchanged. 1 = exact reference per-generation driving.
     gens_per_dispatch: int = 1
-    # one-dispatch ES generation (parent assembly + offspring sweep +
-    # truncation selection + winner/candidate materialization + in-program
-    # candidate validation as a single device program). "auto" = on
-    # whenever the task scores fitness AND validation on device and the
-    # mutation kind is not SM-G-* (whose per-parent sensitivity recompute
-    # needs the host-choreographed path). False = always the plain path.
+    # one-dispatch ES generation (parent assembly + SM-G sensitivity sweep
+    # + offspring sweep + truncation selection + winner/candidate
+    # materialization + in-program candidate validation as a single device
+    # program). "auto" = on whenever the task scores fitness AND validation
+    # on device (SM-G-* per-parent sensitivities are computed in-program).
+    # False = always the host-choreographed plain path.
     fused_es: object = "auto"
     # PRNG used for on-device noise/init streams: "" = jax default
     # (threefry2x32); "rbg" trades cross-backend stream identity for ~2.5x

@@ -163,6 +163,20 @@ def test_fused_es_on_virtual_mesh(coco_fixture, tmp_path):
     assert np.isfinite(master.stats.score_stats()[1]).all()
 
 
+def test_fused_gate_rejects_degenerate_cand_counts(coco_fixture, tmp_path):
+    """More elite candidates than offspring (or than kept children) would
+    mis-slice the fused program's packed result layout — candidate scores
+    would absorb the trailing |policy|.mean() entry. Such configs must fall
+    back to the plain path, which handles them gracefully."""
+    from nes_img_captioning_tpu.algorithms.es import ESMaster
+
+    exp = _es_exp(dict(coco_fixture), str(tmp_path / "run"),
+                  nb_offspring=3, population_size=5)
+    exp["num_elite_cands"] = 4  # > nb_offspring and > pop - elites
+    master = ESMaster(exp)
+    assert not master._fused_capable()
+
+
 def test_coco_validate_device_matches_host(coco_fixture):
     from nes_img_captioning_tpu.tasks.captioning import CocoTask
 

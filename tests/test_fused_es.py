@@ -148,13 +148,16 @@ def test_fused_es_matches_plain_trajectory(coco_fixture, tmp_path,
             assert os.path.isfile(path), path
 
 
-def test_fused_es_on_virtual_mesh(coco_fixture, tmp_path):
+@pytest.mark.parametrize("safe_mutations", ["", "SM-G-SUM"])
+def test_fused_es_on_virtual_mesh(coco_fixture, tmp_path, safe_mutations):
     """Fused generations with the population sharded over the 8 virtual
-    devices (the dryrun convention for multi-chip)."""
+    devices (the dryrun convention for multi-chip); SM-G-SUM additionally
+    runs the in-program per-parent jacrev sweep under the mesh."""
     from nes_img_captioning_tpu.algorithms.es import ESMaster
 
     exp = _es_exp(dict(coco_fixture), str(tmp_path / "run"),
                   selection="tournament", tournament_size=3,
+                  safe_mutations=safe_mutations,
                   tpu={"seed": 5, "mesh_shape": [8], "pop_chunk": 8})
     master = ESMaster(exp)
     master.run_master(max_iterations=3)

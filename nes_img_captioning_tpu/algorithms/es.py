@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import logging
 import os
+import time
 
 import jax
 import jax.numpy as jnp
@@ -35,7 +36,7 @@ from .nes import setup_log_dir
 from .snapshot import save_snapshot
 from .statistics import Statistics
 from ..ops.mutation import MutationKind, gaussian_noise, shape_noise
-from ..parallel.mesh import make_mesh
+from ..parallel.mesh import make_mesh, pop_axis_size, shard_population
 from ..utils.config import parse_config, parse_tpu_config
 from ..utils.files import remove_all_files_but
 
@@ -163,6 +164,24 @@ class ESEngine(PopulationEngine):
         # HIGHEST = bit-exact row selection (see _select_row)
         parents = jnp.matmul(oh, pool, precision=jax.lax.Precision.HIGHEST)
 
+        fitness, new_selected, new_cands, cand_scores = self._gen_core(
+            parents, sens_mat, sigma, seeds, pidx, sidx, idx_row, sens_idx,
+            consts, vconsts, n_offspring, n_keep, n_cands,
+        )
+        packed = jnp.concatenate([
+            fitness, cand_scores, jnp.abs(policy).mean().reshape(1),
+        ])
+        return packed, new_selected, new_cands
+
+    def _gen_core(self, parents, sens_mat, sigma, seeds, pidx, sidx,
+                  idx_row, sens_idx, consts, vconsts,
+                  n_offspring, n_keep, n_cands):
+        """The device body of one fused generation given an assembled
+        (P, dim) parent matrix: (in-program SM-G sensitivities when the
+        kind needs them) -> offspring sweep -> truncation selection ->
+        winner/candidate materialization -> in-program candidate
+        validation. Shared by the single-generation program and the
+        K-generation block scan."""
         if self.mutation in (MutationKind.SAFE_GRAD_SUM,
                              MutationKind.SAFE_GRAD_ABS):
             # SM-G per-parent sensitivities IN-PROGRAM from the assembled
@@ -213,10 +232,76 @@ class ESEngine(PopulationEngine):
         cand_scores = jax.lax.map(
             lambda th: self.task.validate_device(th, vconsts), new_cands
         )
-        packed = jnp.concatenate([
-            fitness, cand_scores, jnp.abs(policy).mean().reshape(1),
-        ])
-        return packed, new_selected, new_cands
+        return fitness, new_selected, new_cands, cand_scores
+
+    def _fused_block_fn(self, elite_rows, elite_scores, selected_prev,
+                        cand_rows, cand_scores, sens_mat, sigma,
+                        seeds, pidx, sidx, idx_rows, sens_idx,
+                        consts, vconsts, n_offspring, n_keep, n_cands):
+        """K chained fused generations as ONE program (tpu.gens_per_dispatch
+        for ES, mirroring NESEngine._generation_block_fn): a lax.scan whose
+        step replays the per-generation host choreography on device —
+
+        1. parents = PRE-merge podium elites + previous selected children
+           (_fused_step loads its elite rows from _parent_paths BEFORE the
+           candidate submission rewrites the slots, so generation k's sweep
+           sees the podium as of candidates <= k-2; the caller guarantees a
+           FULL podium, so the n_valid row mapping of the single-generation
+           program is the identity);
+        2. merge the previous generation's candidates into the podium
+           (stable desc sort with incumbents listed first = ties keep the
+           incumbent, exactly Podium.record_elites);
+        3. the best previous candidate becomes the policy (its |.|.mean is
+           the generation's norm stat);
+        4. the shared generation core (_gen_core).
+
+        Per-generation output row: [fitness (L), cand_scores (C), norm (1),
+        post-merge elite scores (E)] — stacked (K, L+C+1+E), one pull.
+        Scan carry keeps the podium/selected/candidate thetas on device, so
+        interior generations cost no host sync, no dispatch, and no
+        elite-row upload."""
+        E = elite_rows.shape[0]
+        hi = jax.lax.Precision.HIGHEST
+
+        def step(carry, xs):
+            e_rows, e_scores, selected, c_rows, c_scores, _ = carry
+            seeds_g, pidx_g, sidx_g, idx_row, sens_idx_g = xs
+            # parents see the PRE-merge podium (host _fused_step parity)
+            parents = jnp.concatenate([e_rows, selected], axis=0)
+            if E:
+                scores = jnp.concatenate([e_scores, c_scores])
+                top = jnp.argsort(-scores, stable=True)[:E]
+                pool = jnp.concatenate([e_rows, c_rows], axis=0)
+                sel = jax.nn.one_hot(top, pool.shape[0], dtype=pool.dtype)
+                e_rows = jnp.matmul(sel, pool, precision=hi)
+                e_scores = scores[top]
+            # np.argmax semantics: first index of the max (ties)
+            bi = jnp.argmax(c_scores)
+            policy = jnp.matmul(
+                jax.nn.one_hot(bi, c_rows.shape[0], dtype=c_rows.dtype),
+                c_rows, precision=hi,
+            )
+            fitness, selected, c_rows, c_scores = self._gen_core(
+                parents, sens_mat, sigma, seeds_g, pidx_g, sidx_g, idx_row,
+                sens_idx_g, consts, vconsts, n_offspring, n_keep, n_cands,
+            )
+            row = jnp.concatenate([
+                fitness, c_scores, jnp.abs(policy).mean().reshape(1),
+                e_scores,
+            ])
+            return (e_rows, e_scores, selected, c_rows, c_scores, policy), row
+
+        # the policy carry slot is overwritten before first read; seed it
+        # with a same-shaped row rather than stacking K policies as outputs
+        carry0 = (elite_rows, elite_scores, selected_prev,
+                  cand_rows, cand_scores, cand_rows[0])
+        (e_rows, e_scores, selected, c_rows, c_scores, policy), packed = \
+            jax.lax.scan(step, carry0,
+                         (seeds, pidx, sidx, idx_rows, sens_idx))
+        # the block-end policy = the one computed at the LAST step (from the
+        # second-to-last generation's candidates), matching the host's
+        # per-generation update timeline
+        return packed, e_rows, e_scores, selected, c_rows, policy
 
     # ---- host entry points ---------------------------------------------------------
 
@@ -279,6 +364,67 @@ class ESEngine(PopulationEngine):
         """(fitness (L,), cand_scores (C,), |policy|.mean()) — one sync."""
         arr = np.asarray(packed)
         return arr[:L], arr[L : L + n_cands], float(arr[-1])
+
+    def fused_block(self, elite_rows, elite_scores, selected_prev,
+                    cand_rows, cand_scores, sens_mat, sigma,
+                    seeds: np.ndarray, pidx: np.ndarray,
+                    idx_rows: np.ndarray, n_cands: int,
+                    sens_idx: np.ndarray | None = None):
+        """Host entry for the K-generation block (_fused_block_fn).
+        ``seeds``/``pidx`` are (K, L) in per-generation stream order,
+        ``idx_rows`` (K, B); device handles carry the podium
+        (elite_rows/elite_scores), previous selected children, and the
+        pending candidates + their in-program scores. Returns
+        (packed (K, L+C+1+E), elite_rows, elite_scores, selected,
+        cand_rows, policy) — ``unpack_block`` costs the block's single
+        sync."""
+        K, L = seeds.shape
+        n_chunks, chunk = self._plan(L)
+
+        def lay3(a, dtype):
+            a = np.asarray(a, dtype)
+            pad = n_chunks * chunk - a.shape[1]
+            if pad:
+                a = np.concatenate(
+                    [a, np.repeat(a[:, -1:], pad, axis=1)], axis=1
+                )
+            a = a.reshape(K, n_chunks, chunk)
+            if self.mesh is None or pop_axis_size(self.mesh) == 1:
+                return a
+            return shard_population(self.mesh, a, axis=2)
+
+        seeds_d = lay3(seeds, np.uint32)
+        pidx_d = lay3(pidx, np.int32)
+        sidx_d = lay3(self._sens_rows(pidx), np.int32)
+        if sens_idx is None:
+            sens_idx = np.zeros((K, 1), np.int32)
+        if not hasattr(self, "_fused_block_jit"):
+            self._fused_block_jit = jax.jit(
+                self._fused_block_fn,
+                static_argnames=("n_offspring", "n_keep", "n_cands"),
+                out_shardings=self._out_shardings(),
+            )
+        return self._fused_block_jit(
+            elite_rows,
+            self._replicated(np.asarray(elite_scores, np.float32)),
+            selected_prev, cand_rows,
+            self._replicated(np.asarray(cand_scores, np.float32)),
+            sens_mat, self._replicated(np.float32(sigma)),
+            seeds_d, pidx_d, sidx_d,
+            self._replicated(np.asarray(idx_rows, np.int32)),
+            self._replicated(np.asarray(sens_idx, np.int32)),
+            self.task.device_consts(), self.task.device_val_consts(),
+            n_offspring=L, n_keep=selected_prev.shape[0], n_cands=n_cands,
+        )
+
+    @staticmethod
+    def unpack_block(packed, K: int, L: int, n_cands: int, n_elites: int):
+        """(fitness (K, L), cand_scores (K, C), norms (K,), post-merge
+        elite scores (K, E)) — the block's single sync."""
+        arr = np.asarray(packed).reshape(K, L + n_cands + 1 + n_elites)
+        return (arr[:, :L], arr[:, L : L + n_cands],
+                arr[:, L + n_cands],
+                arr[:, L + n_cands + 1 :])
 
     def materialize(self, parents_mat, sens_mat, sigma, seeds, pidx,
                     fresh: bool = False):
@@ -353,6 +499,11 @@ class ESMaster:
         self._selected_dev = None
         self._n_selected = 0
         self._cand_scores_pending = None
+        # blocked-path state (tpu.gens_per_dispatch > 1): the pending
+        # candidate matrix and the podium as device handles; invalidated by
+        # any step that goes through the host podium/file path
+        self._cands_dev = None
+        self._elites_dev = None
         self._sens_mat = self._place(np.ones((1, self.engine.dim), np.float32))
         # SM-G fused generations compute sensitivities in-program; the
         # sens_mat operand they receive is this inert 1-row placeholder
@@ -709,6 +860,8 @@ class ESMaster:
 
         # hand the fused path its state: the selected-children matrix
         # (padded to the static P-E row count) + unscored candidates
+        self._elites_dev = None  # host podium path owns the slots here
+        self._cands_dev = None
         if self._fused_capable():
             S = pop_size - num_elites
             sel = selected
@@ -736,6 +889,7 @@ class ESMaster:
         elite_paths = [p for p in self._parent_paths if p is not None]
         dev_elites = self._padded_elite_rows(elite_paths, num_elites)
         n_valid = len(elite_paths)
+        self._elites_dev = None  # this step merges the podium host-side
 
         # candidate bookkeeping (plain step 1). Boundary generations
         # (resume / plain handoff) host-validate; steady state reuses the
@@ -796,6 +950,7 @@ class ESMaster:
             path = self._elite_path_tpl.format(i=i)
             self.elites_to_evaluate.append((i, path))
             self._cand_thetas[path] = new_cands[i]
+        self._cands_dev = new_cands
         self._cand_scores_pending = cand_scores
         self._selected_dev = new_selected
         self._n_selected = S
@@ -810,6 +965,157 @@ class ESMaster:
         self._n_parents = len(elite_paths_next) + S
         return fitness[order], best_ev_acc, norm
 
+    def _block_budget(self, gens_left: int, limit: int | None) -> int:
+        """Generations chained into one ES dispatch (tpu.gens_per_dispatch;
+        mirrors NESMaster._block_budget). >1 only in fused steady state with
+        patience disabled, a FULL podium (the in-program parent assembly
+        then has a fixed row layout and the parent-selection distribution a
+        fixed support), and pending in-program candidate state. A block
+        never contains an interior schedule firing or snapshot, so the
+        host-event cadence is identical to per-generation driving."""
+        b = max(self.tpu_cfg.gens_per_dispatch, 1)
+        if b == 1:
+            return 1
+        if (self._selected_dev is None or not self._fused_capable()
+                or self._cands_dev is None
+                or self._cand_scores_pending is None):
+            return 1
+        if self.config.patience:
+            if not getattr(self, "_block_warned", False):
+                self._block_warned = True  # once, not every iteration
+                logger.warning(
+                    "gens_per_dispatch>1 requires patience=0 (patience may "
+                    "anneal sigma mid-block); driving per-generation")
+            return 1
+        filled = [p for p, _ in self.it.best_elites()
+                  if p and os.path.isfile(p)]
+        if len(filled) < self.experiment.num_elites():
+            return 1  # podium still filling: parent row count not yet fixed
+        from .nes import NESMaster
+
+        gap = NESMaster._gap_to_next
+        nxt = self.it.iteration() + 1  # the block's first iteration
+        if self.config.schedule_limit and gap(
+                nxt - 1, self.config.schedule_limit,
+                self.config.schedule_start or 0) == 1:
+            return 1  # this iteration fires the schedule: run it alone
+        b = min(b, gens_left)
+        if limit:
+            b = min(b, limit - self.it.iteration())
+        if self.config.schedule_limit:
+            b = min(b, gap(nxt, self.config.schedule_limit,
+                           self.config.schedule_start or 0))
+        if self.config.snapshot_freq:
+            # a snapshot needs the block's end-state: end exactly on it
+            b = min(b, gap(nxt - 1, self.config.snapshot_freq))
+        b = max(b, 1)
+        # power-of-two block sizes only: every distinct K is its own XLA
+        # program (see NESMaster._block_budget)
+        return 1 << (b.bit_length() - 1)
+
+    def _fused_block_step(self, b, t_block, sigma, bs, L, pop_size,
+                          num_elites, n_cands):
+        """``b`` chained generations, one dispatch, one sync
+        (engine.fused_block). Per-generation host bookkeeping (stats
+        series, counters, logs) is replayed from the pulled per-generation
+        results; the podium merge happens ON DEVICE with
+        Podium.record_elites' exact semantics and the host adopts the
+        final scoreboard (install_merged_podium). Deviation (documented):
+        slot files for podium states that exist only INSIDE a block are
+        never materialized — the files are worker transport in the
+        reference, a checkpoint surface here, and blocks end on every
+        snapshot boundary."""
+        it, stats = self.it, self.stats
+        S = pop_size - num_elites
+
+        if self._elites_dev is None:
+            paths = [p for p, _ in it.best_elites() if p]
+            self._elites_dev = self._padded_elite_rows(paths, num_elites)
+        pre_scores = [float(s) for _, s in it.best_elites()]
+
+        sm_g = self.mutation in (MutationKind.SAFE_GRAD_SUM,
+                                 MutationKind.SAFE_GRAD_ABS)
+        # per-generation draws in the exact per-generation stream order, so
+        # the trajectory is identical for every block size
+        idx_rows = np.empty((b, bs), np.int32)
+        seeds = np.empty((b, L), np.uint32)
+        pidx = np.empty((b, L), np.int32)
+        sens_idx = None
+        for k in range(b):
+            idx_rows[k] = self._sampler.batch(bs)
+            seeds[k] = self._rng.integers(0, 2**32, size=L, dtype=np.uint32)
+            pidx[k] = self._select_parent_indices(L, num_elites + S)
+            if sm_g:
+                row = self._sens_batch_rows(idx_rows[k])
+                if sens_idx is None:
+                    sens_idx = np.empty((b, row.shape[0]), np.int32)
+                sens_idx[k] = row
+
+        packed, e_rows, _, selected, c_rows, policy = \
+            self.engine.fused_block(
+                self._elites_dev, pre_scores, self._selected_dev,
+                self._cands_dev, self._cand_scores_pending,
+                self._sens_ones if sm_g else self._sens_mat,
+                sigma, seeds, pidx, idx_rows, n_cands, sens_idx=sens_idx,
+            )
+        fit_all, cand_all, norms, etops = ESEngine.unpack_block(
+            packed, b, L, n_cands, num_elites
+        )  # the block's single host sync
+        block_dt = time.time() - t_block
+
+        prev_cands = np.asarray(self._cand_scores_pending, np.float32)
+        for k in range(b):
+            if k:
+                it.incr_iteration()
+                logger.info("********** Iteration %d (chained) **********",
+                            it.iteration())
+            f = fit_all[k]
+            stats.record_score_stats(f[np.argsort(-f, kind="stable")])
+            stats.record_bs_stats(it.batch_size())
+            stats.record_step_time_stats(dt=block_dt / b)
+            stats.record_norm_stats([float(norms[k])])
+            stats.record_acc_stats(
+                float(prev_cands.max()) if prev_cands.size else 0.0
+            )
+            stats.record_best_acc_stats(float(etops[k][0]))
+            stats.record_std_stats(it.noise_stdev())
+            stats.update_mem_stats()
+            stats.log_stats()
+            it.log_stats()
+            prev_cands = cand_all[k]
+
+        # block-end state: adopt the device-merged podium (slot files +
+        # scores) only when it actually changed — any entry strictly beats
+        # the dropped slot, so "changed" is detectable from scores alone
+        final_scores = [float(s) for s in etops[b - 1]]
+        if final_scores != pre_scores:
+            rows = np.asarray(e_rows)  # (E, dim) pull, only on change
+            it.install_merged_podium(
+                final_scores, rows,
+                lambda row, path: self.task.spec.save_pth(row, path),
+            )
+        self._elites_dev = e_rows
+
+        # publish the final generation's candidates (same surface as
+        # _fused_step: slot files deleted, bytes materialize lazily)
+        remove_all_files_but(self.experiment.elite_dir(), [])
+        self.elites_to_evaluate = []
+        self._cand_thetas = {}
+        for i in range(n_cands):
+            path = self._elite_path_tpl.format(i=i)
+            self.elites_to_evaluate.append((i, path))
+            self._cand_thetas[path] = c_rows[i]
+        self._cands_dev = c_rows
+        self._cand_scores_pending = cand_all[b - 1]
+        self._selected_dev = selected
+        self._n_selected = S
+        self.parents_mat = None
+        self.policy_theta = policy
+        elite_paths_next = [p for p, _ in it.best_elites()
+                            if p and os.path.isfile(p)]
+        self._parent_paths = elite_paths_next + [None] * S
+        self._n_parents = len(elite_paths_next) + S
+
     def run_master(self, plot: bool = False, max_iterations: int | None = None):
         config, it, stats = self.config, self.it, self.stats
         limit = max_iterations or config.max_nb_iterations
@@ -821,10 +1127,16 @@ class ESMaster:
         while not limit or it.iteration() < limit:
             it.incr_epoch()
             gens = max(self.task.train_n // it.batch_size(), 1)
-            for _ in range(gens):
+            done = 0
+            while done < gens and (not limit or it.iteration() < limit):
+                b = self._block_budget(gens - done, limit)
+                done += b
                 it.incr_iteration()
                 stats.set_step_tstart()
-                logger.info("********** Iteration %d **********", it.iteration())
+                t_block = time.time()
+                logger.info("********** Iteration %d%s **********",
+                            it.iteration(),
+                            f" (+{b - 1} chained)" if b > 1 else "")
                 self._profile_hook(it.iteration())
 
                 sigma, bs = it.get_noise_stdev(), it.batch_size()
@@ -835,34 +1147,43 @@ class ESMaster:
                         self.task.train_n,
                         seed=int(self._rng.integers(0, 2**31 - 1)),
                     )
-                idx_row = self._sampler.batch(bs)
 
-                step = (
-                    self._fused_step
-                    if self._selected_dev is not None and self._fused_capable()
-                    else self._plain_step
-                )
-                scores, best_ev_acc, norm = step(
-                    idx_row, sigma, L, pop_size, num_elites, n_cands
-                )
+                if b > 1:
+                    # blocks never contain a schedule firing, so no sampler
+                    # rebuild can be needed mid-block (_block_budget)
+                    self._fused_block_step(b, t_block, sigma, bs, L,
+                                           pop_size, num_elites, n_cands)
+                else:
+                    idx_row = self._sampler.batch(bs)
 
-                if it.patience_reached() or it.schedule_reached():
-                    self._sampler = None
+                    step = (
+                        self._fused_step
+                        if self._selected_dev is not None
+                        and self._fused_capable()
+                        else self._plain_step
+                    )
+                    scores, best_ev_acc, norm = step(
+                        idx_row, sigma, L, pop_size, num_elites, n_cands
+                    )
 
-                stats.record_score_stats(scores)
-                stats.record_bs_stats(it.batch_size())
-                stats.record_step_time_stats()
-                # mean |theta| reduced on device: pulling the full 11.6 MB
-                # policy vector per generation costs ~0.5 s over the tunnel
-                stats.record_norm_stats([norm])
-                stats.record_acc_stats(
-                    best_ev_acc if best_ev_acc > float("-inf") else 0.0
-                )
-                stats.record_best_acc_stats(it.best_elites()[0][1])
-                stats.record_std_stats(it.noise_stdev())
-                stats.update_mem_stats()
-                stats.log_stats()
-                it.log_stats()
+                    if it.patience_reached() or it.schedule_reached():
+                        self._sampler = None
+
+                    stats.record_score_stats(scores)
+                    stats.record_bs_stats(it.batch_size())
+                    stats.record_step_time_stats()
+                    # mean |theta| reduced on device: pulling the full
+                    # 11.6 MB policy vector per generation costs ~0.5 s
+                    # over the tunnel
+                    stats.record_norm_stats([norm])
+                    stats.record_acc_stats(
+                        best_ev_acc if best_ev_acc > float("-inf") else 0.0
+                    )
+                    stats.record_best_acc_stats(it.best_elites()[0][1])
+                    stats.record_std_stats(it.noise_stdev())
+                    stats.update_mem_stats()
+                    stats.log_stats()
+                    it.log_stats()
 
                 if config.snapshot_freq and it.iteration() % config.snapshot_freq == 0:
                     self._snapshot(plot)

@@ -239,5 +239,10 @@ class Iteration:
     def best_elites(self):
         return self._podium.best_elites()
 
+    def install_merged_podium(self, scores, rows, save_row):
+        """ES blocked path: adopt the device-merged scoreboard (see
+        Podium.install_merged)."""
+        self._podium.install_merged(scores, rows, save_row)
+
     def best_elite(self):
         return self._podium.best_elites()[0][0]

@@ -103,6 +103,27 @@ class Podium:
         self._slots = self._pad(survivors)
         remove_all_files_but(self._dir, [p for p, _ in survivors])
 
+    def install_merged(self, scores, rows, save_row):
+        """Install an EXTERNALLY merged scoreboard (the ES blocked path
+        merges the podium on device with record_elites' exact semantics —
+        stable desc sort, incumbents win ties — inside the K-generation
+        program). ``scores`` are the post-merge slot scores best-first,
+        ``rows`` the matching theta rows, ``save_row(row, path)`` writes one
+        slot file. Files are staged then renamed, like record_elites."""
+        staged = []
+        slots = []
+        for rank, score in enumerate(scores):
+            dst = self._slot_path(rank)
+            tmp = dst + ".staging"
+            save_row(rows[rank], tmp)
+            staged.append((tmp, dst))
+            slots.append((dst, float(score)))
+        for tmp, dst in staged:
+            os.replace(tmp, dst)
+        self._entered_since_check = True
+        self._slots = self._pad(slots)
+        remove_all_files_but(self._dir, [p for p, _ in slots])
+
     def is_bad_generation(self) -> bool:
         """True iff nothing new landed on the scoreboard since the last
         call. Reading rearms the flag (one answer per generation)."""

@@ -79,9 +79,11 @@ class TpuConfig:
     # vocab; 0 = untiled). Token-exact vs untiled (tested); see
     # docs/RESULTS.md "streaming vocab tiles" for when it wins.
     decode_vocab_tile: int = 0
-    # generations chained per device dispatch (fused fitness path only; one
+    # generations chained per device dispatch (fused paths only; one
     # dispatch costs ~100 ms through a tunneled chip, dwarfing ~20 ms of
-    # compute). >1 requires patience=0; blocks never span validation,
+    # compute). Applies to NES (fused fitness) AND ES (fused generation;
+    # the podium merge runs in-program with record_elites' semantics).
+    # >1 requires patience=0; blocks never span validation,
     # schedule-annealing, or snapshot boundaries, so cadence semantics are
     # unchanged. 1 = exact reference per-generation driving.
     gens_per_dispatch: int = 1

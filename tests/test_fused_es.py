@@ -158,12 +158,97 @@ def test_fused_es_on_virtual_mesh(coco_fixture, tmp_path, safe_mutations):
     exp = _es_exp(dict(coco_fixture), str(tmp_path / "run"),
                   selection="tournament", tournament_size=3,
                   safe_mutations=safe_mutations,
-                  tpu={"seed": 5, "mesh_shape": [8], "pop_chunk": 8})
+                  tpu={"seed": 5, "mesh_shape": [8], "pop_chunk": 8,
+                       "gens_per_dispatch": 2})
     master = ESMaster(exp)
-    master.run_master(max_iterations=3)
+    calls = {"n": 0}
+    orig = master.engine.fused_block
+
+    def spy(*a, _o=orig, _c=calls, **k):
+        _c["n"] += 1
+        return _o(*a, **k)
+
+    master.engine.fused_block = spy
+    master.run_master(max_iterations=5)
     assert master.parents_mat is None  # fused path took over
-    assert len(master.stats.score_stats()[1]) == 3
+    assert calls["n"] >= 1  # at least one sharded K-generation scan ran
+    assert len(master.stats.score_stats()[1]) == 5
     assert np.isfinite(master.stats.score_stats()[1]).all()
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("safe_mutations", ["", "SM-G-SUM"])
+def test_es_block_matches_per_generation(coco_fixture, tmp_path,
+                                         safe_mutations):
+    """tpu.gens_per_dispatch for ES: K-generation blocks (device-side
+    podium merge + parent assembly in a lax.scan) must reproduce the
+    per-generation fused trajectory — same stats series, same podium
+    scores, same final parent/children bytes, same z_info snapshots.
+    Blocks end on every snapshot boundary so the checkpoint surface is
+    identical. SM-G-SUM exercises the in-scan per-parent sensitivity
+    sweep (ES blocks support SM-G, unlike NES blocks, because the fused
+    ES generation computes sensitivities in-program)."""
+    import glob
+    import os
+
+    from nes_img_captioning_tpu.algorithms.es import ESMaster
+
+    results = {}
+    for block in (1, 4):
+        exp = _es_exp(dict(coco_fixture), str(tmp_path / f"run{block}"),
+                      safe_mutations=safe_mutations,
+                      tpu={"seed": 5, "gens_per_dispatch": block})
+        exp["config"]["snapshot_freq"] = 4
+        master = ESMaster(exp)
+        calls = {"block": 0, "single": 0}
+        orig_b, orig_s = master.engine.fused_block, master.engine.fused_generation
+
+        def spy_b(*a, _o=orig_b, _c=calls, **k):
+            _c["block"] += 1
+            return _o(*a, **k)
+
+        def spy_s(*a, _o=orig_s, _c=calls, **k):
+            _c["single"] += 1
+            return _o(*a, **k)
+
+        master.engine.fused_block = spy_b
+        master.engine.fused_generation = spy_s
+        master.run_master(max_iterations=9)
+        if block == 1:
+            assert calls == {"block": 0, "single": 8}
+        else:
+            # gen 1 plain, gen 2 fused (podium fills), gens 3-4 block
+            # (snapshot-bounded), 5-6 epoch-bounded block, 7-8 block, 9 single
+            assert calls["block"] >= 2 and calls["single"] >= 1
+            assert calls["block"] + calls["single"] < 8
+        results[block] = {
+            "stats": master.stats.to_dict(),
+            "podium": [(s, master.task.spec.load_pth(p))
+                       for p, s in master.it.best_elites()],
+            "children": np.asarray(
+                master._selected_dev)[: master._n_selected],
+            "zinfo": sorted(
+                os.path.basename(z) for z in glob.glob(
+                    str(tmp_path / f"run{block}" / "snapshot" / "z_info_*.json"))
+            ),
+        }
+
+    a, b = results[1], results[4]
+    for key in ("score_stats", "acc_stats", "best_acc_so_far_stats",
+                "norm_stats", "noise_std_stats", "bs_stats"):
+        np.testing.assert_allclose(
+            np.asarray(a["stats"][key], np.float64),
+            np.asarray(b["stats"][key], np.float64),
+            rtol=1e-5, atol=1e-6, err_msg=key,
+        )
+    for (sa, ra), (sb, rb) in zip(a["podium"], b["podium"]):
+        np.testing.assert_allclose(sa, sb, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(ra, rb, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(a["children"], b["children"],
+                               rtol=1e-5, atol=1e-6)
+    # snapshots delete their predecessor, so exactly the final one
+    # survives — and it must carry the same name (iteration/epoch state)
+    assert a["zinfo"] == b["zinfo"] and len(a["zinfo"]) == 1
 
 
 def test_fused_gate_rejects_degenerate_cand_counts(coco_fixture, tmp_path):

@@ -504,6 +504,11 @@ class ESMaster:
         # any step that goes through the host podium/file path
         self._cands_dev = None
         self._elites_dev = None
+        # True while the podium's slot FILES lag the device-merged rows in
+        # self._elites_dev (scores are adopted immediately, the ~35 MB row
+        # pull is deferred); _materialize_podium() settles the debt before
+        # any file read (snapshot, per-generation handoff)
+        self._podium_dirty = False
         self._sens_mat = self._place(np.ones((1, self.engine.dim), np.float32))
         # SM-G fused generations compute sensitivities in-program; the
         # sens_mat operand they receive is this inert 1-row placeholder
@@ -1019,8 +1024,9 @@ class ESMaster:
         (engine.fused_block). Per-generation host bookkeeping (stats
         series, counters, logs) is replayed from the pulled per-generation
         results; the podium merge happens ON DEVICE with
-        Podium.record_elites' exact semantics and the host adopts the
-        final scoreboard (install_merged_podium). Deviation (documented):
+        Podium.record_elites' exact semantics — the host adopts the final
+        SCORES immediately and defers the elite-row pull + slot-file writes
+        to _materialize_podium. Deviation (documented):
         slot files for podium states that exist only INSIDE a block are
         never materialized — the files are worker transport in the
         reference, a checkpoint surface here, and blocks end on every
@@ -1084,16 +1090,17 @@ class ESMaster:
             it.log_stats()
             prev_cands = cand_all[k]
 
-        # block-end state: adopt the device-merged podium (slot files +
-        # scores) only when it actually changed — any entry strictly beats
-        # the dropped slot, so "changed" is detectable from scores alone
+        # block-end state: adopt the device-merged podium SCORES only when
+        # the merge changed it — any entry strictly beats the dropped slot,
+        # so "changed" is detectable from scores alone. The merged elite
+        # ROWS stay device-resident (self._elites_dev); the ~35 MB pull +
+        # slot-file writes are deferred to _materialize_podium (measured
+        # 6-38 s per pull through this harness's tunnel — it dominated the
+        # whole block when paid eagerly).
         final_scores = [float(s) for s in etops[b - 1]]
         if final_scores != pre_scores:
-            rows = np.asarray(e_rows)  # (E, dim) pull, only on change
-            it.install_merged_podium(
-                final_scores, rows,
-                lambda row, path: self.task.spec.save_pth(row, path),
-            )
+            it.adopt_merged_scores(final_scores)
+            self._podium_dirty = True
         self._elites_dev = e_rows
 
         # publish the final generation's candidates (same surface as
@@ -1111,10 +1118,26 @@ class ESMaster:
         self._n_selected = S
         self.parents_mat = None
         self.policy_theta = policy
-        elite_paths_next = [p for p, _ in it.best_elites()
-                            if p and os.path.isfile(p)]
+        # slot paths exist on disk (possibly with deferred bytes — any
+        # consumer goes through _materialize_podium first)
+        elite_paths_next = [p for p, _ in it.best_elites() if p]
         self._parent_paths = elite_paths_next + [None] * S
         self._n_parents = len(elite_paths_next) + S
+
+    def _materialize_podium(self):
+        """Settle deferred podium slot files: pull the device-merged elite
+        rows and rewrite the slot files so on-disk bytes match the adopted
+        scores. MUST run before anything reads podium files (snapshot,
+        per-generation handoff, resume artifacts)."""
+        if not self._podium_dirty:
+            return
+        scores = [s for _, s in self.it.best_elites()]
+        rows = np.asarray(self._elites_dev)  # the deferred (E, dim) pull
+        self.it.install_merged_podium(
+            scores[: rows.shape[0]], rows,
+            lambda row, path: self.task.spec.save_pth(row, path),
+        )
+        self._podium_dirty = False
 
     def run_master(self, plot: bool = False, max_iterations: int | None = None):
         config, it, stats = self.config, self.it, self.stats
@@ -1154,6 +1177,10 @@ class ESMaster:
                     self._fused_block_step(b, t_block, sigma, bs, L,
                                            pop_size, num_elites, n_cands)
                 else:
+                    # per-generation steps read + rewrite podium slot files
+                    # (record_elites, _padded_elite_rows): settle any
+                    # deferred block-merged rows first
+                    self._materialize_podium()
                     idx_row = self._sampler.batch(bs)
 
                     step = (
@@ -1223,6 +1250,7 @@ class ESMaster:
         return parents
 
     def _snapshot(self, plot: bool):
+        self._materialize_podium()  # z_info references podium slot files
         have_parents = (self.parents_mat is not None
                         or self._selected_dev is not None)
         # the z_info's elites_to_evaluate must exist as files (the fused

@@ -244,5 +244,10 @@ class Iteration:
         Podium.install_merged)."""
         self._podium.install_merged(scores, rows, save_row)
 
+    def adopt_merged_scores(self, scores):
+        """ES blocked path: adopt merged slot scores, file writes deferred
+        (see Podium.adopt_scores)."""
+        self._podium.adopt_scores(scores)
+
     def best_elite(self):
         return self._podium.best_elites()[0][0]

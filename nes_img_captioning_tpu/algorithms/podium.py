@@ -124,6 +124,20 @@ class Podium:
         self._slots = self._pad(slots)
         remove_all_files_but(self._dir, [p for p, _ in slots])
 
+    def adopt_scores(self, scores):
+        """Adopt externally merged slot SCORES without touching slot files
+        (the ES blocked path keeps the merged elite rows device-resident and
+        defers the ~35 MB row pull + file writes until a consumer actually
+        reads the files — snapshot, per-generation handoff, resume). The
+        caller (ESMaster._materialize_podium) OWNS the discipline that slot
+        files are rewritten via install_merged before any read; between
+        blocks the on-disk bytes are stale."""
+        self._entered_since_check = True
+        self._slots = self._pad(
+            [(self._slot_path(rank), float(s))
+             for rank, s in enumerate(scores)]
+        )
+
     def is_bad_generation(self) -> bool:
         """True iff nothing new landed on the scoreboard since the last
         call. Reading rearms the flag (one answer per generation)."""

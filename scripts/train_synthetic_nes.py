@@ -46,6 +46,8 @@ def main():
     parser.add_argument("--sens-precision", type=str, default="float32")
     parser.add_argument("--no-fused-es", action="store_true",
                         help="force the host-choreographed ES path")
+    parser.add_argument("--block", type=int, default=8,
+                        help="tpu.gens_per_dispatch (both algorithms)")
     args = parser.parse_args()
 
     import jax
@@ -95,7 +97,7 @@ def main():
         "optimizer_options": {"type": "adam", "args": {"stepsize": 0.001}},
         "caption_options": copts,
         "tpu": {"seed": 0, "pop_chunk": 48, "precision": "bf16",
-                "rng_impl": "rbg", "gens_per_dispatch": 8,
+                "rng_impl": "rbg", "gens_per_dispatch": args.block,
                 "val_freq": args.val_freq},
         "log_dir": args.out,
     }
@@ -113,13 +115,12 @@ def main():
 
     if args.algo == "nic_es":
         # the reference's mscoco_es.json regime: mu=50 parents, truncation
-        # selection, elite candidates validated next generation.
-        # gens_per_dispatch / val_freq are NES-only knobs (ESMaster ignores
-        # them; elite candidates ARE validated every generation by design)
+        # selection, elite candidates validated every generation (val_freq
+        # is NES-only). gens_per_dispatch chains fused ES generations —
+        # including the podium merge — into one scan program (r3).
         exp["population_size"] = 50
         exp["num_elite_cands"] = 3
         exp["selection"] = "uniform"
-        exp["tpu"].pop("gens_per_dispatch", None)
         exp["tpu"].pop("val_freq", None)
         if args.safe_mutations:
             exp["policy_options"]["model_options"].update(

@@ -112,7 +112,10 @@ def test_two_process_es_generation(tmp_path):
     # the sharded offspring sweep)
     assert exp["policy_options"]["model_options"]["safe_mutations"] == "SM-G-SUM"
     exp["log_dir"] = str(tmp_path / "run")
-    exp["tpu"] = {"seed": 13}
+    # blocks engage at gen 3 (podium full after gen 2): gens 3-4 run as one
+    # 2-generation fused block, exercising the device-side podium merge +
+    # lazy materialization under multi-controller lockstep
+    exp["tpu"] = {"seed": 13, "gens_per_dispatch": 2}
     exp_file = tmp_path / "exp.json"
     exp_file.write_text(json.dumps(exp))
 
@@ -128,7 +131,7 @@ def test_two_process_es_generation(tmp_path):
     for pid in range(2):
         procs.append(subprocess.Popen(
             [sys.executable, "-m", "nes_img_captioning_tpu.main", "master",
-             "--exp_file", str(exp_file), "--max_iterations", "2",
+             "--exp_file", str(exp_file), "--max_iterations", "4",
              "--platform", "cpu",
              "--coordinator", f"127.0.0.1:{port}",
              "--num_processes", "2", "--process_id", str(pid)],
@@ -148,13 +151,16 @@ def test_two_process_es_generation(tmp_path):
 
     for label in ("RewMean", "RewMax", "EliteAcc"):
         a, b = stat_lines(outs[0], label), stat_lines(outs[1], label)
-        assert len(a) == 2 and a == b, (label, a, b)
+        assert len(a) == 4 and a == b, (label, a, b)
+    # the 2-generation block actually ran on both processes
+    for out in outs:
+        assert "(+1 chained)" in out
 
     run_dir = tmp_path / "run"
     snaps = list((run_dir / "snapshot").glob("z_info_*.json"))
     assert len(snaps) == 1
     infos = json.loads(snaps[0].read_text())
-    assert infos["iter"] == 2
+    assert infos["iter"] == 4
     for _, path in infos["parents"] + infos["elites_to_evaluate"]:
         assert os.path.isfile(path), path
         assert str(run_dir) in path

@@ -150,6 +150,43 @@ def test_es_resume_from_infos(tmp_path):
 
 
 @pytest.mark.slow
+def test_es_resume_after_blocked_run(tmp_path):
+    """A z_info written at a block boundary (tpu.gens_per_dispatch>1) is a
+    complete reference-format checkpoint: the lazily-materialized podium
+    slot files carry the device-merged bytes, parents/candidates exist as
+    files, and a fresh master resumes from it (and re-enters blocking)."""
+    from nes_img_captioning_tpu.algorithms.es import ESMaster
+
+    exp = _mnist_exp("nic_es", str(tmp_path / "run1"),
+                     tpu={"gens_per_dispatch": 4})
+    exp["config"].update({"schedule_start": 1000, "schedule_limit": 1000,
+                          "patience": 0, "snapshot_freq": 4})
+    master = ESMaster(exp)
+    master.run_master(max_iterations=8)
+    assert master.engine is not None
+    zinfo = glob.glob(str(tmp_path / "run1" / "snapshot" / "z_info_*.json"))[0]
+    infos = json.load(open(zinfo))
+    # the checkpoint's podium files hold the bytes the scores were earned
+    # by: reloading each slot and re-validating reproduces its score
+    for path, score in infos["best_elites"]:
+        assert os.path.isfile(path), path
+        theta = master.task.spec.load_pth(path)
+        np.testing.assert_allclose(
+            master.task.validate(theta), score, rtol=1e-6, atol=1e-7)
+
+    exp2 = _mnist_exp("nic_es", str(tmp_path / "run2"),
+                      tpu={"gens_per_dispatch": 4})
+    exp2["config"].update({"schedule_start": 1000, "schedule_limit": 1000,
+                           "patience": 0, "snapshot_freq": 4})
+    exp2["from_infos"] = zinfo
+    master2 = ESMaster(exp2)
+    master2.run_master(max_iterations=12)
+    # resume re-runs the snapshotted iteration (8): 8 loaded + gens 8..12
+    assert len(master2.stats.score_stats()[1]) == 13
+    assert np.isfinite(master2.stats.score_stats()[1]).all()
+
+
+@pytest.mark.slow
 def test_es_tournament_selection(tmp_path):
     from nes_img_captioning_tpu.algorithms.es import ESMaster
 

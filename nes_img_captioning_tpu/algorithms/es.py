@@ -728,9 +728,11 @@ class ESMaster:
             and self.exp["nb_offspring"] >= n_keep
             # candidates = a prefix of the selected children in the fused
             # program; degenerate configs (more cands than offspring or
-            # kept children) would mis-slice the packed result layout —
-            # the plain path handles them gracefully
-            and self.experiment.num_elite_cands() <= min(
+            # kept children) would mis-slice the packed result layout, and
+            # zero candidates would make the program's argmax/one-hot over
+            # the candidate rows trace-fail — the plain path handles all of
+            # these gracefully
+            and 1 <= self.experiment.num_elite_cands() <= min(
                 n_keep, self.exp["nb_offspring"]
             )
             and self.task.device_val_consts() is not None
@@ -759,7 +761,13 @@ class ESMaster:
     def _padded_elite_rows(self, elite_paths: list, E: int):
         """(E, dim) device matrix: podium-elite rows padded with zero rows
         (never selected — parent assembly maps rows >= n_valid to children).
-        Cached on (paths, mtimes, E) like _device_elite_rows."""
+        A FULL podium — the steady state — shares _device_elite_rows'
+        (paths, mtime)-keyed device cache with the plain path; only the
+        podium-filling boundary pays the separate padded build."""
+        if len(elite_paths) == E and not self._multihost:
+            dev = self._device_elite_rows(elite_paths)
+            if dev is not None:
+                return dev
         key = (tuple((p, os.path.getmtime(p)) for p in elite_paths), E)
         cached = getattr(self, "_padded_elite_cache", None)
         if cached is not None and cached[0] == key:
@@ -892,8 +900,17 @@ class ESMaster:
         it = self.it
         S = pop_size - num_elites
         elite_paths = [p for p in self._parent_paths if p is not None]
-        dev_elites = self._padded_elite_rows(elite_paths, num_elites)
         n_valid = len(elite_paths)
+        if (self._elites_dev is not None
+                and self._elites_dev.shape[0] == num_elites
+                and n_valid == num_elites):
+            # block -> per-generation handoff: the merged elite rows are
+            # already device-resident (and _materialize_podium just wrote
+            # the identical bytes to the slot files) — skip the ~35 MB
+            # re-upload _padded_elite_rows would pay
+            dev_elites = self._elites_dev
+        else:
+            dev_elites = self._padded_elite_rows(elite_paths, num_elites)
         self._elites_dev = None  # this step merges the podium host-side
 
         # candidate bookkeeping (plain step 1). Boundary generations
@@ -1098,7 +1115,11 @@ class ESMaster:
         # 6-38 s per pull through this harness's tunnel — it dominated the
         # whole block when paid eagerly).
         final_scores = [float(s) for s in etops[b - 1]]
-        if final_scores != pre_scores:
+        # compare at f32: the device returns f32 scores while host-validated
+        # podium entries may carry float64 values — a raw != would flag an
+        # unchanged podium as dirty (and pay the deferred 35 MB pull) on
+        # every block after a host-side validation
+        if final_scores != [float(np.float32(s)) for s in pre_scores]:
             it.adopt_merged_scores(final_scores)
             self._podium_dirty = True
         self._elites_dev = e_rows

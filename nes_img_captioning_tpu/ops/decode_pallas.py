@@ -52,7 +52,7 @@ def _kernel(seed_ref, feats_ref, img_w_ref, img_b_ref, i2h_w_ref, i2h_b_ref,
             h2h_w_ref, h2h_b_ref, logit_w_ref, logit_b_ref, embed_ref,
             gumbel_ref,
             seq_ref, lp_ref, h_ref, c_ref, tok_ref, unfin_ref, alive_ref,
-            xt_ref,
+            xt_ref=None,
             *, seq_length: int, rnn_size: int, greedy: bool,
             host_rng: bool, need_logprobs: bool, vocab_tile: int = 0):
     R = rnn_size
@@ -290,8 +290,9 @@ def decode_fused(params: dict, feats, seq_length: int = 16,
             pltpu.VMEM((B, 1), jnp.int32),      # current token
             pltpu.VMEM((B, 1), jnp.int32),      # per-row unfinished mask
             pltpu.SMEM((1,), jnp.int32),        # batch-wide alive flag
+        ] + ([
             pltpu.VMEM((B, E), jnp.float32),    # streamed-embed accumulator
-        ],
+        ] if vocab_tile else []),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),

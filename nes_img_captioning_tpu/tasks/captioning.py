@@ -155,6 +155,11 @@ class CocoTask(Task):
             self._val_dev_cache = jax.tree_util.tree_map(
                 place, self._val_dev_cache
             )
+        # device_val_consts builds lazily (often AFTER this runs, e.g. on
+        # the first _fused_capable check) — remember the placement so the
+        # late build lands as mesh-global arrays too, not process-local
+        # ones mixed into a multi-controller jit
+        self._place_fn = place
 
     # ---- scorers -----------------------------------------------------------------
 
@@ -486,12 +491,23 @@ class CocoTask(Task):
             bs = min(self.config.val_batch_size or self.config.batch_size
                      or 64, n)
             n_chunks = -(-n // bs)
-            feats = self.val_fc[:n]
             pad = n_chunks * bs - n
-            if pad:
-                feats = jnp.concatenate(
-                    [feats, jnp.zeros((pad, feats.shape[1]), feats.dtype)]
-                )
+            if getattr(self, "_place_fn", None) is not None:
+                # multi-controller: val_fc is a mesh-global array — eager
+                # slicing/concat against local zeros mixes address spaces;
+                # assemble on host (replicated = full copy per process)
+                # and re-place below with the rest of the cache
+                feats = np.asarray(self.val_fc)[:n]
+                if pad:
+                    feats = np.concatenate(
+                        [feats, np.zeros((pad, feats.shape[1]), feats.dtype)]
+                    )  # stays host-side; the tree_map below places it
+            else:
+                feats = self.val_fc[:n]
+                if pad:
+                    feats = jnp.concatenate(
+                        [feats, jnp.zeros((pad, feats.shape[1]), feats.dtype)]
+                    )
             self._val_n, self._val_bs = n, bs
             logger.info("building on-device val CIDEr scorer (%d images)", n)
             self._val_device_cider = DeviceCider(
@@ -511,6 +527,15 @@ class CocoTask(Task):
                 "word": jnp.asarray(table2d),
                 "cider": self._val_device_cider.dev,
             }
+            # multi-controller: a placement was installed before this lazy
+            # build — re-place so every leaf is a mesh-global array (mixed
+            # local/global operands fail at the first fused dispatch)
+            place = getattr(self, "_place_fn", None)
+            if place is not None:
+                self._val_dev_cache = jax.tree_util.tree_map(
+                    place, self._val_dev_cache
+                )
+                self._val_device_cider.replicate_device_state(place)
         return self._val_dev_cache
 
     def validate_device(self, theta, vconsts):

@@ -131,6 +131,17 @@ def parse_tpu_config(exp: dict) -> TpuConfig:
                 f"tpu.sensitivity_precision={cfg['sensitivity_precision']!r}: "
                 f"expected one of {sorted(aliases)}"
             ) from None
+    if "fused_es" in cfg and not (
+        cfg["fused_es"] is True or cfg["fused_es"] is False
+        or cfg["fused_es"] == "auto"
+    ):
+        # the gate tests `want is not False`, so near-miss spellings like
+        # 0 or "false" would silently leave the fused path ON — reject them
+        # (identity checks: `0 in (True, False)` would be truthy)
+        raise ValueError(
+            f"tpu.fused_es={cfg['fused_es']!r}: expected true, false, or "
+            f"\"auto\""
+        )
     return TpuConfig(**cfg)
 
 

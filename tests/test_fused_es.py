@@ -264,6 +264,12 @@ def test_fused_gate_rejects_degenerate_cand_counts(coco_fixture, tmp_path):
     master = ESMaster(exp)
     assert not master._fused_capable()
 
+    # zero candidates: the fused/blocked programs argmax over the candidate
+    # rows (trace error on an empty array); plain path handles it
+    exp0 = _es_exp(dict(coco_fixture), str(tmp_path / "run0"))
+    exp0["num_elite_cands"] = 0
+    assert not ESMaster(exp0)._fused_capable()
+
 
 def test_coco_validate_device_matches_host(coco_fixture):
     from nes_img_captioning_tpu.tasks.captioning import CocoTask

@@ -48,6 +48,10 @@ def main():
                         help="force the host-choreographed ES path")
     parser.add_argument("--block", type=int, default=8,
                         help="tpu.gens_per_dispatch (both algorithms)")
+    parser.add_argument("--snapshot-freq", type=int, default=0,
+                        help="config.snapshot_freq (0 = final only; each "
+                        "ES snapshot pulls ~540 MB of parent rows through "
+                        "the tunnel)")
     args = parser.parse_args()
 
     import jax
@@ -88,7 +92,8 @@ def main():
             "val_batch_size": 256, "num_val_items": 512,
             "patience": 0, "schedule_start": 10**9, "schedule_limit": 0,
             "stdev_divisor": 1, "bs_multiplier": 1, "stepsize_divisor": 1,
-            "l2coeff": 1e-7, "single_batch": False, "snapshot_freq": 0,
+            "l2coeff": 1e-7, "single_batch": False,
+            "snapshot_freq": args.snapshot_freq,
         },
         "policy_options": {
             "net": "fc_caption", "fitness": "greedy",

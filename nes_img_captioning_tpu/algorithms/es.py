@@ -37,6 +37,7 @@ from .snapshot import save_snapshot
 from .statistics import Statistics
 from ..ops.mutation import MutationKind, gaussian_noise, shape_noise
 from ..parallel.mesh import make_mesh, pop_axis_size, shard_population
+from ..parallel.transfer import pull_chunked
 from ..utils.config import parse_config, parse_tpu_config
 from ..utils.files import remove_all_files_but
 
@@ -756,7 +757,7 @@ class ESMaster:
             return
         th = self._cand_thetas.get(path)
         if th is not None:
-            self.task.spec.save_pth(np.asarray(th), path)
+            self.task.spec.save_pth(pull_chunked(th), path)
 
     def _padded_elite_rows(self, elite_paths: list, E: int):
         """(E, dim) device matrix: podium-elite rows padded with zero rows
@@ -1153,7 +1154,7 @@ class ESMaster:
         if not self._podium_dirty:
             return
         scores = [s for _, s in self.it.best_elites()]
-        rows = np.asarray(self._elites_dev)  # the deferred (E, dim) pull
+        rows = pull_chunked(self._elites_dev)  # the deferred (E, dim) pull
         self.it.install_merged_podium(
             scores[: rows.shape[0]], rows,
             lambda row, path: self.task.spec.save_pth(row, path),
@@ -1255,7 +1256,7 @@ class ESMaster:
         spec = self.task.spec
         keep_files = []
         fused = self.parents_mat is None
-        sel = np.asarray(self._selected_dev) if fused else None
+        sel = pull_chunked(self._selected_dev) if fused else None
         n_elite_rows = sum(1 for p in self._parent_paths if p is not None)
         for i in range(self._n_parents):
             path = self._parent_paths[i]

@@ -41,6 +41,7 @@ from .statistics import Statistics
 from ..ops.mutation import MutationKind, gaussian_noise, shape_noise
 from ..ops.ranks import compute_centered_ranks
 from ..parallel.mesh import make_mesh
+from ..parallel.transfer import pull_chunked
 from ..utils.config import parse_config, parse_tpu_config
 from ..utils.files import mkdir_p, remove_all_files_from_dir
 
@@ -514,7 +515,7 @@ class NESMaster:
 
     def _write_current_model(self):
         remove_all_files_from_dir(self._current_dir)
-        self.task.spec.save_pth(np.asarray(self.theta), self._current_path)
+        self.task.spec.save_pth(pull_chunked(self.theta), self._current_path)
         # NES checkpoint state (reference: nic_nes/iteration.py:37-41)
         self.it.extra_state = {"current_model": self._current_path}
 

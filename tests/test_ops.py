@@ -84,3 +84,26 @@ def test_perturb_vmaps_over_population():
     assert pop.shape == (8, 32)
     # all members distinct
     assert len({float(d[0]) for d in deltas}) == 8
+
+
+def test_pull_chunked_bitwise_equal():
+    """pull_chunked must be np.asarray bit-for-bit at every shape class it
+    meets: small (no chunking), exact-multiple, ragged tail, and 2D row
+    matrices (the podium / parent-file pulls)."""
+    from nes_img_captioning_tpu.parallel.transfer import pull_chunked
+
+    rng = np.random.default_rng(0)
+    for shape, chunk in [((64,), 1 << 20),          # small: plain asarray
+                         ((1024,), 256 * 4),        # exact multiple
+                         ((1000,), 256 * 4),        # ragged tail
+                         ((3, 700), 512 * 4),       # 2D + ragged
+                         ((5, 512), 512 * 4)]:      # 2D exact
+        host = rng.normal(size=shape).astype(np.float32)
+        dev = jnp.asarray(host)
+        got = pull_chunked(dev, chunk_bytes=chunk)
+        assert got.shape == host.shape and got.dtype == host.dtype
+        assert np.array_equal(got, np.asarray(dev))
+
+    ints = jnp.asarray(rng.integers(0, 1 << 30, size=999, dtype=np.int32))
+    assert np.array_equal(pull_chunked(ints, chunk_bytes=128 * 4),
+                          np.asarray(ints))

@@ -46,6 +46,23 @@ logger = logging.getLogger(__name__)
 __all__ = ["ESEngine", "ESMaster"]
 
 
+def podium_merge(e_rows, e_scores, c_rows, c_scores):
+    """Device-side scoreboard merge with ``Podium.record_elites``' exact
+    semantics: one stable descending sort over incumbents-then-candidates,
+    so ties keep the incumbent (a tie never counts as an improvement) and
+    equal-scored candidates enter in their published order. Rows are
+    selected by one-hot matmul at HIGHEST precision (bit-exact row select,
+    see ESEngine._select_row). Unit-pinned against the host Podium in
+    tests/test_fused_es.py."""
+    E = e_rows.shape[0]
+    scores = jnp.concatenate([e_scores, c_scores])
+    top = jnp.argsort(-scores, stable=True)[:E]
+    pool = jnp.concatenate([e_rows, c_rows], axis=0)
+    sel = jax.nn.one_hot(top, pool.shape[0], dtype=pool.dtype)
+    merged = jnp.matmul(sel, pool, precision=jax.lax.Precision.HIGHEST)
+    return merged, scores[top]
+
+
 class ESEngine(PopulationEngine):
     def __init__(self, task, mutation: MutationKind, mesh=None,
                  pop_chunk: int = 0, rng_impl: str = "",
@@ -270,12 +287,9 @@ class ESEngine(PopulationEngine):
             # parents see the PRE-merge podium (host _fused_step parity)
             parents = jnp.concatenate([e_rows, selected], axis=0)
             if E:
-                scores = jnp.concatenate([e_scores, c_scores])
-                top = jnp.argsort(-scores, stable=True)[:E]
-                pool = jnp.concatenate([e_rows, c_rows], axis=0)
-                sel = jax.nn.one_hot(top, pool.shape[0], dtype=pool.dtype)
-                e_rows = jnp.matmul(sel, pool, precision=hi)
-                e_scores = scores[top]
+                e_rows, e_scores = podium_merge(
+                    e_rows, e_scores, c_rows, c_scores
+                )
             # np.argmax semantics: first index of the max (ties)
             bi = jnp.argmax(c_scores)
             policy = jnp.matmul(

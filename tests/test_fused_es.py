@@ -271,6 +271,61 @@ def test_fused_gate_rejects_degenerate_cand_counts(coco_fixture, tmp_path):
     assert not ESMaster(exp0)._fused_capable()
 
 
+def test_device_podium_merge_matches_record_elites(tmp_path):
+    """The in-scan scoreboard merge (es.podium_merge) must reproduce
+    Podium.record_elites EXACTLY, including the adversarial tie cases:
+    a candidate tying an incumbent never displaces it (a tie is not an
+    improvement), equal-scored candidates enter in published order, and
+    the surviving rows are selected bit-exactly."""
+    import jax.numpy as jnp
+
+    from nes_img_captioning_tpu.algorithms.es import podium_merge
+    from nes_img_captioning_tpu.algorithms.podium import Podium
+
+    rng = np.random.default_rng(7)
+    E, C, D = 3, 4, 6
+    # score pools engineered for collisions: draws from a tiny value set
+    value_set = np.asarray([0.125, 0.25, 0.25, 0.5, 1.0], np.float32)
+    for trial in range(25):
+        e_scores = np.sort(rng.choice(value_set, E))[::-1].astype(np.float32)
+        c_scores = rng.choice(value_set, C).astype(np.float32)
+        e_rows = rng.normal(size=(E, D)).astype(np.float32)
+        c_rows = rng.normal(size=(C, D)).astype(np.float32)
+
+        got_rows, got_scores = jax.jit(podium_merge)(
+            jnp.asarray(e_rows), jnp.asarray(e_scores),
+            jnp.asarray(c_rows), jnp.asarray(c_scores),
+        )
+
+        # host oracle: a real Podium seeded with the incumbents; the merged
+        # slot FILES afterwards hold the surviving rows' bytes
+        d = tmp_path / f"t{trial}"
+        pod = Podium(0, str(d), num_elites=E)
+        seed = []
+        for i in range(E):
+            p = str(d / f"inc{i}.npy")
+            np.save(open(p, "wb"), e_rows[i])
+            seed.append((p, float(e_scores[i])))
+        pod.init_from_infos({"best_elites": seed})
+        cands = []
+        for i in range(C):
+            p = str(d / f"cand{i}.npy")
+            np.save(open(p, "wb"), c_rows[i])
+            cands.append((p, float(c_scores[i])))
+        pod.record_elites(cands)
+        want = pod.best_elites()
+        np.testing.assert_array_equal(
+            np.asarray(got_scores), np.asarray([s for _, s in want],
+                                               np.float32),
+            err_msg=f"trial {trial}: scores {e_scores} + {c_scores}",
+        )
+        for rank, (path, _) in enumerate(want):
+            np.testing.assert_array_equal(
+                np.asarray(got_rows)[rank], np.load(path),
+                err_msg=f"trial {trial} rank {rank}",
+            )
+
+
 def test_coco_validate_device_matches_host(coco_fixture):
     from nes_img_captioning_tpu.tasks.captioning import CocoTask
 

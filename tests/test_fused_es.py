@@ -72,7 +72,8 @@ def _es_exp(copts, log_dir, **over):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("safe_mutations", ["SM-PROPORTIONAL", "SM-G-SUM"])
+@pytest.mark.parametrize("safe_mutations",
+                         ["SM-PROPORTIONAL", "SM-G-SUM", "SM-G-ABS"])
 def test_fused_es_matches_plain_trajectory(coco_fixture, tmp_path,
                                            safe_mutations):
     """The one-dispatch fused generation must reproduce the plain

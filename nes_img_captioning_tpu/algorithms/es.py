@@ -782,6 +782,9 @@ class ESMaster:
         if len(elite_paths) == E and not self._multihost:
             dev = self._device_elite_rows(elite_paths)
             if dev is not None:
+                # steady state never pads again: drop any boundary-built
+                # padded matrix so it doesn't strand an (E, dim) buffer
+                self._padded_elite_cache = None
                 return dev
         key = (tuple((p, os.path.getmtime(p)) for p in elite_paths), E)
         cached = getattr(self, "_padded_elite_cache", None)

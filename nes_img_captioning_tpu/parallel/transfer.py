@@ -13,6 +13,8 @@ harmless either way.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 __all__ = ["pull_chunked"]
@@ -20,11 +22,19 @@ __all__ = ["pull_chunked"]
 _CHUNK_BYTES = 4 << 20  # ~4 MB: the measured fast-path transfer size
 
 
+@functools.lru_cache(maxsize=8)
+def _slicer(ch: int):
+    """One jitted dynamic-slice program per chunk length, shared across
+    pull_chunked calls so jax's per-shape executable cache actually
+    amortizes the setup (a fresh jit wrapper per call would re-trace)."""
+    import jax
+
+    return jax.jit(lambda a, i: jax.lax.dynamic_slice(a, (i,), (ch,)))
+
+
 def pull_chunked(arr, chunk_bytes: int = _CHUNK_BYTES) -> np.ndarray:
     """np.asarray(arr) for multi-MB device arrays, transferred in
     fixed-shape ~4 MB slices via ONE jitted dynamic-slice program."""
-    import jax
-
     size = int(np.prod(arr.shape)) if arr.ndim else 1
     itemsize = np.dtype(arr.dtype).itemsize
     ch = max(1, chunk_bytes // itemsize)
@@ -34,10 +44,7 @@ def pull_chunked(arr, chunk_bytes: int = _CHUNK_BYTES) -> np.ndarray:
     flat = arr.reshape(-1)
 
     # one program for every chunk: the start index is a traced operand
-    take = jax.jit(
-        lambda a, i: jax.lax.dynamic_slice(a, (i,), (ch,)),
-        static_argnames=(),
-    )
+    take = _slicer(ch)
     n_full = size // ch
     out = np.empty((size,), arr.dtype)
     for k in range(n_full):

@@ -532,10 +532,13 @@ class CocoTask(Task):
             # local/global operands fail at the first fused dispatch)
             place = getattr(self, "_place_fn", None)
             if place is not None:
+                # the cache's "cider" leaves are the only copy
+                # validate_device reads (it always scores via
+                # vconsts["cider"]), so the DeviceCider's own .dev needs no
+                # second placement
                 self._val_dev_cache = jax.tree_util.tree_map(
                     place, self._val_dev_cache
                 )
-                self._val_device_cider.replicate_device_state(place)
         return self._val_dev_cache
 
     def validate_device(self, theta, vconsts):

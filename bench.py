@@ -39,7 +39,32 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _backend_watchdog(seconds: float = 600.0):
+    """Fail fast if the TPU backend never initializes: the axon tunnel can
+    wedge outright (r3: a device call never returned and fresh processes
+    then hung at jax.devices() for hours — CLAUDE.md). Without this, a
+    wedged tunnel turns the bench into an unbounded hang with no output;
+    with it, the run dies with a diagnosable message and NO json line (a
+    missing result is honest; a fabricated zero is not). Disarmed the
+    moment devices enumerate."""
+    import threading
+
+    armed = threading.Event()
+
+    def watch():
+        if not armed.wait(seconds):
+            log(f"FATAL: jax backend did not initialize within {seconds:.0f}s"
+                " — the TPU tunnel appears wedged; no benchmark was run")
+            os._exit(3)
+
+    threading.Thread(target=watch, daemon=True).start()
+    return armed
+
+
 def main():
+    watchdog_disarm = _backend_watchdog(
+        float(os.environ.get("NES_BENCH_INIT_TIMEOUT", "600"))
+    )
     import jax
 
     # persistent compilation cache: the fused-decode program takes minutes to
@@ -60,6 +85,7 @@ def main():
     from nes_img_captioning_tpu.utils.config import Config, TpuConfig
 
     devices = jax.devices()
+    watchdog_disarm.set()  # backend is up: hand control back to `timeout`
     n_chips = len(devices)
     log(f"devices: {devices}")
 

@@ -107,3 +107,22 @@ def test_pull_chunked_bitwise_equal():
     ints = jnp.asarray(rng.integers(0, 1 << 30, size=999, dtype=np.int32))
     assert np.array_equal(pull_chunked(ints, chunk_bytes=128 * 4),
                           np.asarray(ints))
+
+
+def test_pull_chunked_on_mesh_global_array():
+    """The multihost snapshot path pulls mesh-REPLICATED global arrays
+    through pull_chunked (jitted dynamic-slice over a sharded operand):
+    must stay bitwise np.asarray across the 8 virtual devices."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from nes_img_captioning_tpu.parallel.mesh import make_mesh
+    from nes_img_captioning_tpu.parallel.transfer import pull_chunked
+
+    mesh = make_mesh((8,))
+    host = np.random.default_rng(3).normal(size=(5, 3001)).astype(np.float32)
+    sharding = NamedSharding(mesh, PartitionSpec())
+    dev = jax.make_array_from_callback(
+        host.shape, sharding, lambda idx: host[idx]
+    )
+    got = pull_chunked(dev, chunk_bytes=1024 * 4)
+    assert np.array_equal(got, host)

@@ -55,11 +55,33 @@ class NESEngine(PopulationEngine):
     the same object also backs the multi-chip dry-run and the benchmark."""
 
     def __init__(self, task, optimizer, mutation: MutationKind, mesh=None,
-                 pop_chunk: int = 0, rng_impl: str = ""):
+                 pop_chunk: int = 0, rng_impl: str = "",
+                 sens_underflow: float = 0.01,
+                 sens_precision: str = "float32",
+                 sens_batch: int = 0,
+                 inline_sens: bool | None = None):
         super().__init__(task, mesh=mesh, pop_chunk=pop_chunk,
                          rng_impl=rng_impl)
         self.optimizer = optimizer
         self.mutation = mutation
+        # SM-G in-program sensitivity (mirrors ESEngine): the fused
+        # generation recomputes the sensitivity from its own theta + batch
+        # inside the program, sparing the separate per-generation
+        # calc_sensitivity dispatch and making K-generation blocks correct
+        # for SM-G-* (each scan step sees its carried theta). inline_sens
+        # None = auto (on exactly when the fused path would use it);
+        # explicit False keeps the host-computed `sens` operand (testing /
+        # fallback).
+        self._sens_underflow = float(sens_underflow)
+        self._sens_precision = sens_precision
+        self._sens_batch = int(sens_batch)
+        if inline_sens is None:
+            inline_sens = (
+                mutation in (MutationKind.SAFE_GRAD_SUM,
+                             MutationKind.SAFE_GRAD_ABS)
+                and task.fitness_on_device
+            )
+        self.inline_sens = bool(inline_sens)
 
         self._eval_jit = jax.jit(self._eval_fn, static_argnames=("with_deltas",))
         self._update_jit = jax.jit(self._update_fn)
@@ -175,8 +197,26 @@ class NESEngine(PopulationEngine):
         device return either the scalar itself or {'fitness': scalar})."""
         return art["fitness"] if isinstance(art, dict) else art
 
+    def _traced_sens(self, theta, sens_idx, consts):
+        """In-program SM-G sensitivity of the current theta over the
+        generation's (subsampled) batch rows — postprocessed exactly like
+        the host path (clamp at underflow, divide by it)."""
+        from ..ops.sensitivity import (
+            abs_sens_traced,
+            postprocess,
+            sum_sens_traced,
+        )
+
+        fwd = self.task.sensitivity_forward
+        if self.mutation is MutationKind.SAFE_GRAD_SUM:
+            raw = sum_sens_traced(fwd, theta, sens_idx, consts,
+                                  self._sens_precision)
+        else:
+            raw = abs_sens_traced(fwd, theta, sens_idx, consts)
+        return postprocess(raw, self._sens_underflow)
+
     def _generation_fn(self, theta, opt_state, sens, sigma, seeds, idx,
-                       stepsize, l2coeff, consts, n_pairs):
+                       sens_idx, stepsize, l2coeff, consts, n_pairs):
         """One whole NES generation as a single program: perturb + rollout +
         on-device fitness for every antithetic pair, centered-rank weights,
         rank-weighted gradient, optimizer step. The gradient phase
@@ -193,6 +233,8 @@ class NESEngine(PopulationEngine):
         pass, no transposed materializations), and the gradient comes back
         through the linear from_dec — exactly equivalent math per member
         (tests/test_decode_layout.py)."""
+        if self.inline_sens:
+            sens = self._traced_sens(theta, sens_idx, consts)
         lay = self._layout
         if lay is None:
             base_vec = theta
@@ -247,22 +289,26 @@ class NESEngine(PopulationEngine):
         return theta, opt_state, packed
 
     def _generation_block_fn(self, theta, opt_state, sens, sigma, seeds, idx,
-                             stepsize, l2coeff, consts, n_pairs):
+                             sens_idx, stepsize, l2coeff, consts, n_pairs):
         """K chained generations in one program (seeds (K, n, c),
-        idx (K, n, c, B)) — identical math to K sequential generation()
-        dispatches; exists because one dispatch costs ~100 ms through this
-        harness's tunnel, dwarfing the ~20 ms device compute."""
+        idx (K, n, c, B), sens_idx (K, B_s)) — identical math to K
+        sequential generation() dispatches; exists because one dispatch
+        costs ~100 ms through this harness's tunnel, dwarfing the ~20 ms
+        device compute. With inline_sens each step recomputes the SM-G
+        sensitivity from its carried theta and its own batch rows — the
+        per-generation host choreography replayed on device (the host-sens
+        path cannot block: its sensitivity is fixed at block entry)."""
 
         def step(carry, xs):
             th, st = carry
             th, st, packed = self._generation_fn(
-                th, st, sens, sigma, xs[0], xs[1], stepsize, l2coeff,
+                th, st, sens, sigma, xs[0], xs[1], xs[2], stepsize, l2coeff,
                 consts, n_pairs
             )
             return (th, st), packed
 
         (theta, opt_state), packs = jax.lax.scan(
-            step, (theta, opt_state), (seeds, idx)
+            step, (theta, opt_state), (seeds, idx, sens_idx)
         )
         return theta, opt_state, packs  # (K, 2F+2)
 
@@ -291,8 +337,23 @@ class NESEngine(PopulationEngine):
         sc = lambda v: self._replicated(np.float32(v))  # noqa: E731
         return self._generation_jit(
             theta, opt_state, sens, sc(sigma), seeds_d, idx_d,
-            sc(stepsize), sc(l2coeff), self.task.device_consts(), n_pairs=F,
+            self._replicated(self._sens_idx_rows(idx[0:1])[0]),
+            sc(stepsize), sc(l2coeff),
+            self.task.device_consts(), n_pairs=F,
         )
+
+    def _sens_idx_rows(self, idx_members0: np.ndarray) -> np.ndarray:
+        """host (K, B) member-0 batch rows -> host (K, B_s) int32 rows for
+        the in-program sensitivity sweep (the host path's sensitivity batch:
+        member 0's row, tpu.sensitivity_batch-subsampled). (K, 1) zeros when
+        sensitivities are not inlined — the operand is unused and DCE'd."""
+        if not self.inline_sens:
+            return np.zeros((idx_members0.shape[0], 1), np.int32)
+        from ..ops.sensitivity import subsample_batch_rows
+
+        return np.stack([
+            subsample_batch_rows(r, self._sens_batch) for r in idx_members0
+        ]).astype(np.int32)
 
     def generation_block(self, theta, opt_state, sens, sigma,
                          seeds: np.ndarray, idx: np.ndarray,
@@ -325,6 +386,7 @@ class NESEngine(PopulationEngine):
         sc = lambda v: self._replicated(np.float32(v))  # noqa: E731
         return self._generation_block_jit(
             theta, opt_state, sens, sc(sigma), seeds_d, idx_d,
+            self._replicated(self._sens_idx_rows(idx[:, 0])),
             sc(stepsize), sc(l2coeff), self.task.device_consts(), n_pairs=F,
         )
 
@@ -436,6 +498,9 @@ class NESMaster:
             self.task, self.optimizer, self.mutation,
             mesh=mesh, pop_chunk=self.tpu_cfg.pop_chunk,
             rng_impl=self.tpu_cfg.rng_impl,
+            sens_underflow=mopts.get("safe_mutation_underflow", 0.01),
+            sens_precision=self.tpu_cfg.sensitivity_precision,
+            sens_batch=self.tpu_cfg.sensitivity_batch,
         )
         self._init_multihost_placement()
 
@@ -558,6 +623,11 @@ class NESMaster:
         return self._sampler.member_batches(F, bs)
 
     def _maybe_sensitivity(self, idx_row: np.ndarray):
+        if self.engine.inline_sens:
+            # SM-G on the fused path: the generation program recomputes the
+            # sensitivity in-program from its own theta + batch rows — the
+            # `sens` operand is a dummy there (self._sens stays all-ones)
+            return self._sens
         if self.mutation in (MutationKind.SAFE_GRAD_SUM, MutationKind.SAFE_GRAD_ABS):
             from ..ops.sensitivity import calc_sensitivity, subsample_batch_rows
 
@@ -623,13 +693,18 @@ class NESMaster:
                     "anneal sigma mid-block); driving per-generation")
             return 1
         if self.mutation in (MutationKind.SAFE_GRAD_SUM,
-                             MutationKind.SAFE_GRAD_ABS):
+                             MutationKind.SAFE_GRAD_ABS) \
+                and not self.engine.inline_sens:
+            # with inline_sens the block scan recomputes the sensitivity
+            # from each step's carried theta + batch, so SM-G blocks are
+            # exact; only the host-computed-sens fallback must stay
+            # per-generation (its sensitivity is fixed at block entry)
             if not getattr(self, "_block_warned", False):
                 self._block_warned = True
                 logger.warning(
-                    "gens_per_dispatch>1 is incompatible with SM-G-* (the "
-                    "sensitivity is recomputed from each generation's "
-                    "theta); driving per-generation")
+                    "gens_per_dispatch>1 is incompatible with SM-G-* when "
+                    "the sensitivity is host-computed (fixed at block "
+                    "entry); driving per-generation")
             return 1
         nxt = self.it.iteration() + 1  # the block's first iteration
         if self.config.schedule_limit and self._gap_to_next(

@@ -28,7 +28,8 @@ import jax.numpy as jnp
 from .mutation import MutationKind
 
 __all__ = ["calc_sensitivity", "calc_sensitivities", "sm_g_sum", "sm_g_abs",
-           "sum_sens_many_traced", "abs_sens_many_traced", "postprocess",
+           "sum_sens_many_traced", "abs_sens_many_traced",
+           "sum_sens_traced", "abs_sens_traced", "postprocess",
            "subsample_batch_rows"]
 
 
@@ -107,6 +108,24 @@ def sum_sens_many_traced(forward, thetas, idx, consts,
         return jnp.sqrt((J.astype(jnp.float32) ** 2).sum(0)) / batch
 
     return jax.lax.map(one, thetas)
+
+
+def sum_sens_traced(forward, theta, idx, consts,
+                    matmul_precision: str = "float32"):
+    """Single-theta SM-G-SUM in traced (inlinable) form — the NES engine's
+    in-program sensitivity (one parent = the current theta), sparing the
+    separate calc_sensitivity dispatch the host path pays and unblocking
+    K-generation blocks for SM-G NES (the sensitivity must be recomputed
+    from each generation's carried theta inside the scan step)."""
+    batch = forward(theta, idx, consts).shape[0]
+    with jax.default_matmul_precision(matmul_precision):
+        J = jax.jacrev(lambda th: forward(th, idx, consts).sum(0))(theta)
+    return jnp.sqrt((J.astype(jnp.float32) ** 2).sum(0)) / batch
+
+
+def abs_sens_traced(forward, theta, idx, consts):
+    """Single-theta SM-G-ABS in traced form (see sum_sens_traced)."""
+    return _abs_sens_scan(forward, theta, idx, consts)
 
 
 def abs_sens_many_traced(forward, thetas, idx, consts):

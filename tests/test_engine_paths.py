@@ -78,8 +78,18 @@ def test_sm_g_abs_end_to_end(tmp_path):
     exp["policy_options"]["model_options"]["safe_mutations"] = "SM-G-ABS"
     exp["tpu"] = {"seed": 0}
     master = NESMaster(exp)
+    # fused task => the per-sample Jacobian runs inside the generation
+    # program; the host-side sens operand stays a dummy
+    assert master.engine.inline_sens
     master.run_master(max_iterations=1)
-    sens = np.asarray(master._sens)
+    assert np.all(np.asarray(master._sens) == 1.0)
+    from nes_img_captioning_tpu.ops.mutation import MutationKind
+    from nes_img_captioning_tpu.ops.sensitivity import calc_sensitivity
+
+    sens = np.asarray(calc_sensitivity(
+        master.task, master.theta, np.arange(8, dtype=np.int32),
+        MutationKind.SAFE_GRAD_ABS, 0.01,
+    ))
     assert sens.min() >= 1.0 and np.isfinite(sens).all()
     assert sens.max() > 1.0
 

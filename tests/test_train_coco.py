@@ -163,11 +163,22 @@ def test_coco_norm_variants_end_to_end(coco_fixture, tmp_path, variant):
 def test_coco_sensitivity_smoke(coco_fixture, tmp_path):
     from nes_img_captioning_tpu.algorithms.nes import NESMaster
 
+    from nes_img_captioning_tpu.ops.mutation import MutationKind
+    from nes_img_captioning_tpu.ops.sensitivity import calc_sensitivity
+
     exp = _coco_exp(coco_fixture, str(tmp_path / "run"),
                     safe_mutations="SM-G-SUM", nb_offspring=4)
     master = NESMaster(exp)
+    # device-CIDEr task => fused path => sensitivity computed in-program
+    assert master.engine.inline_sens
     master.run_master(max_iterations=1)
-    sens = np.asarray(master._sens)
+    assert np.all(np.asarray(master._sens) == 1.0)  # dummy operand
+    sens = np.asarray(calc_sensitivity(
+        master.task, master.theta,
+        np.arange(exp["config"]["batch_size"], dtype=np.int32),
+        MutationKind.SAFE_GRAD_SUM,
+        exp["policy_options"]["model_options"]["safe_mutation_underflow"],
+    ))
     assert sens.shape == (master.engine.dim,)
     assert sens.min() >= 1.0 and np.isfinite(sens).all()
 

@@ -87,15 +87,70 @@ def test_nes_single_batch_mode(tmp_path):
 
 def test_nes_safe_mutations_smoke(tmp_path):
     from nes_img_captioning_tpu.algorithms.nes import NESMaster
+    from nes_img_captioning_tpu.ops.mutation import MutationKind
+    from nes_img_captioning_tpu.ops.sensitivity import calc_sensitivity
 
     exp = _mnist_exp(
         "nic_nes", str(tmp_path / "run"), safe_mutations="SM-G-SUM"
     )
     master = NESMaster(exp)
+    # fused task + SM-G => the generation program computes the sensitivity
+    # in-program; the host-side operand stays a dummy all-ones vector
+    assert master.engine.inline_sens
     master.run_master(max_iterations=2)
-    sens = np.asarray(master._sens)
-    assert sens.min() >= 1.0  # clamped at underflow then divided by it
+    assert np.all(np.asarray(master._sens) == 1.0)
+    # the machinery itself: a sensitivity of the final theta is clamped at
+    # the underflow then divided by it, and non-trivial
+    sens = np.asarray(calc_sensitivity(
+        master.task, master.theta, np.arange(8, dtype=np.int32),
+        MutationKind.SAFE_GRAD_SUM, 0.01,
+    ))
+    assert sens.min() >= 1.0
     assert sens.max() > 1.0
+
+
+def test_nes_inline_sens_matches_host_sens(tmp_path):
+    """The in-program SM-G sensitivity (inline_sens) must reproduce the
+    host-computed path exactly: one fused generation with the sensitivity
+    computed inside the program equals one with the sensitivity computed by
+    calc_sensitivity and passed as the `sens` operand."""
+    import jax
+
+    from nes_img_captioning_tpu.algorithms.nes import NESEngine, NESMaster
+    from nes_img_captioning_tpu.algorithms.optimizers import Adam
+    from nes_img_captioning_tpu.ops.mutation import MutationKind
+    from nes_img_captioning_tpu.ops.sensitivity import calc_sensitivity
+
+    for kind in (MutationKind.SAFE_GRAD_SUM, MutationKind.SAFE_GRAD_ABS):
+        exp = _mnist_exp("nic_nes", str(tmp_path / f"run_{kind.value}"),
+                         safe_mutations=kind.value)
+        master = NESMaster(exp)  # for its task/theta plumbing only
+        task, theta = master.task, master.theta
+        opt0 = Adam(0.01).init(task.spec.num_params)
+
+        rng = np.random.default_rng(3)
+        F = 4
+        seeds = rng.integers(0, 2**32, size=F, dtype=np.uint32)
+        idx = np.tile(np.arange(8, dtype=np.int32), (F, 1))
+
+        eng_inline = NESEngine(task, Adam(0.01), kind, pop_chunk=4)
+        assert eng_inline.inline_sens
+        th_a, _, packed_a = eng_inline.generation(
+            theta, opt0, master._sens, 0.05, seeds, idx, 0.01, 0.0)
+
+        eng_host = NESEngine(task, Adam(0.01), kind, pop_chunk=4,
+                             inline_sens=False)
+        assert not eng_host.inline_sens
+        sens = calc_sensitivity(task, theta, jax.numpy.asarray(idx[0]),
+                                kind, 0.01)
+        th_b, _, packed_b = eng_host.generation(
+            theta, opt0, sens, 0.05, seeds, idx, 0.01, 0.0)
+
+        np.testing.assert_allclose(np.asarray(packed_a),
+                                   np.asarray(packed_b),
+                                   rtol=1e-5, atol=1e-6, err_msg=kind.value)
+        np.testing.assert_allclose(np.asarray(th_a), np.asarray(th_b),
+                                   rtol=1e-5, atol=1e-7, err_msg=kind.value)
 
 
 @pytest.mark.slow
@@ -231,8 +286,9 @@ def test_gens_per_dispatch_block_matches_per_gen(tmp_path):
                               "snapshot_freq": 8, "_schedule_limit": 1})
         exp["config"].pop("schedule_limit", None)
         exp["synthetic_sizes"] = [64, 16]
-        # plain gaussian mutation: SM-G-* recomputes sensitivity from each
-        # generation's theta and therefore clamps blocks to 1
+        # plain gaussian mutation here; the SM-G block path (inline
+        # in-program sensitivity) is pinned by
+        # test_smg_blocks_match_per_gen below
         exp["policy_options"]["model_options"]["safe_mutations"] = ""
         exp["tpu"] = {"seed": 7, "val_freq": 4, "gens_per_dispatch": b}
         master = NESMaster(exp)
@@ -240,6 +296,48 @@ def test_gens_per_dispatch_block_matches_per_gen(tmp_path):
         thetas.append(np.asarray(master.theta))
         series.append(master.stats.to_dict())
 
+    np.testing.assert_allclose(thetas[0], thetas[1], rtol=1e-5, atol=1e-6)
+    for key in ("score_stats", "update_ratio_stats", "acc_stats",
+                "norm_stats", "noise_std_stats", "best_acc_so_far_stats"):
+        np.testing.assert_allclose(
+            np.asarray(series[0][key], dtype=np.float64),
+            np.asarray(series[1][key], dtype=np.float64),
+            rtol=1e-5, atol=1e-6, err_msg=key,
+        )
+
+
+@pytest.mark.slow
+def test_smg_blocks_match_per_gen(tmp_path):
+    """SM-G-SUM with tpu.gens_per_dispatch > 1: the block scan recomputes
+    the sensitivity from each step's carried theta + batch (inline_sens),
+    so blocks are exact — the final theta and stat series must match
+    per-generation driving."""
+    import numpy as np
+    from nes_img_captioning_tpu.algorithms.nes import NESMaster
+    from nes_img_captioning_tpu.utils.config import load_experiment
+
+    thetas, series, budgets = [], [], []
+    for b in (1, 4):
+        exp = load_experiment("experiments/mnist_nes.json")
+        exp["log_dir"] = str(tmp_path / f"run_b{b}")
+        exp["nb_offspring"] = 8
+        exp["config"].update({"batch_size": 8, "patience": 0,
+                              "snapshot_freq": 0, "_schedule_limit": 1})
+        exp["config"].pop("schedule_limit", None)
+        exp["synthetic_sizes"] = [64, 16]
+        exp["policy_options"]["model_options"]["safe_mutations"] = "SM-G-SUM"
+        exp["tpu"] = {"seed": 7, "val_freq": 4, "gens_per_dispatch": b}
+        master = NESMaster(exp)
+        assert master.engine.inline_sens
+        spy, orig = [], master._block_budget
+        master._block_budget = lambda *a, **k: (
+            spy.append(orig(*a, **k)) or spy[-1])
+        master.run_master(max_iterations=8)
+        budgets.append(max(spy))
+        thetas.append(np.asarray(master.theta))
+        series.append(master.stats.to_dict())
+
+    assert budgets[1] > 1  # SM-G no longer clamps blocks to 1
     np.testing.assert_allclose(thetas[0], thetas[1], rtol=1e-5, atol=1e-6)
     for key in ("score_stats", "update_ratio_stats", "acc_stats",
                 "norm_stats", "noise_std_stats", "best_acc_so_far_stats"):

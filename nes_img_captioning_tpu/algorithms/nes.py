@@ -312,6 +312,48 @@ class NESEngine(PopulationEngine):
         )
         return theta, opt_state, packs  # (K, 2F+2)
 
+    def _generation_val_block_fn(self, theta, opt_state, sens, sigma, seeds,
+                                 idx, sens_idx, e_rows, e_scores, stepsize,
+                                 l2coeff, consts, vconsts, n_pairs):
+        """K chained generations with IN-PROGRAM per-generation validation
+        and podium maintenance (tpu.fused_validation — the fused ES
+        treatment applied to NES): each scan step validates its PRE-update
+        theta (``task.validate_device``, the reference's one-eval-per-
+        generation cadence, nic_nes/iteration.py:49-50), merges it into the
+        device-resident (E, dim) podium with ``Podium.record_elites``' exact
+        semantics (stable desc sort, incumbents first so ties keep the
+        incumbent), then runs the generation update. Blocks therefore no
+        longer end at validation boundaries: reference-cadence validation
+        (val_freq=1) runs at block dispatch rates, and the per-generation
+        host validation choreography (its own multi-dispatch decode+score)
+        disappears. Per-generation output row: [fitnesses (2F), ratio,
+        norm, val, post-merge elite scores (E)] — one packed pull per
+        block; the merged elite ROWS stay device-resident (the host settles
+        slot files lazily, see NESMaster._materialize_podium)."""
+        from .es import podium_merge
+
+        E = e_rows.shape[0]
+
+        def step(carry, xs):
+            th, st, er, es = carry
+            val = jnp.asarray(
+                self.task.validate_device(th, vconsts), jnp.float32
+            )
+            if E:
+                er, es = podium_merge(er, es, th[None, :], val.reshape(1))
+            th, st, packed = self._generation_fn(
+                th, st, sens, sigma, xs[0], xs[1], xs[2], stepsize, l2coeff,
+                consts, n_pairs
+            )
+            row = jnp.concatenate([packed, val.reshape(1), es])
+            return (th, st, er, es), row
+
+        (theta, opt_state, e_rows, e_scores), packs = jax.lax.scan(
+            step, (theta, opt_state, e_rows, e_scores),
+            (seeds, idx, sens_idx),
+        )
+        return theta, opt_state, e_rows, packs  # packs (K, 2F+3+E)
+
 
     # _out_shardings inherited from PopulationEngine
 
@@ -390,6 +432,47 @@ class NESEngine(PopulationEngine):
             sc(stepsize), sc(l2coeff), self.task.device_consts(), n_pairs=F,
         )
 
+    def generation_val_block(self, theta, opt_state, sens, sigma,
+                             seeds: np.ndarray, idx: np.ndarray,
+                             stepsize: float, l2coeff: float,
+                             e_rows, e_scores: np.ndarray):
+        """K generations per dispatch with in-program validation + podium
+        (tpu.fused_validation). seeds (K, F), idx (K, F, B); e_rows the
+        (E, dim) device-resident podium rows (zeros for unfilled slots),
+        e_scores (E,) float32 slot scores (-inf unfilled). Returns (theta,
+        opt_state, e_rows, packs (K, 2F+3+E) device handle)."""
+        from ..parallel.mesh import pop_axis_size, shard_population
+
+        K, F = seeds.shape
+        n_chunks, chunk = self._plan(F)
+
+        def lay(a):
+            pad = n_chunks * chunk - a.shape[1]
+            if pad:
+                a = np.concatenate(
+                    [a, np.repeat(a[:, -1:], pad, axis=1)], axis=1
+                )
+            a = a.reshape(K, n_chunks, chunk, *a.shape[2:])
+            if self.mesh is None or pop_axis_size(self.mesh) == 1:
+                return a
+            return shard_population(self.mesh, a, axis=2)
+
+        seeds_d = lay(seeds.astype(np.uint32))
+        idx_d = lay(idx.astype(np.int32))
+        if not hasattr(self, "_generation_val_block_jit"):
+            self._generation_val_block_jit = jax.jit(
+                self._generation_val_block_fn, static_argnames=("n_pairs",),
+                out_shardings=self._out_shardings(),
+            )
+        sc = lambda v: self._replicated(np.float32(v))  # noqa: E731
+        return self._generation_val_block_jit(
+            theta, opt_state, sens, sc(sigma), seeds_d, idx_d,
+            self._replicated(self._sens_idx_rows(idx[:, 0])),
+            e_rows, self._replicated(np.asarray(e_scores, np.float32)),
+            sc(stepsize), sc(l2coeff), self.task.device_consts(),
+            self.task.device_val_consts(), n_pairs=F,
+        )
+
     @staticmethod
     def unpack(packed, F: int):
         """(fitnesses (F, 2), ratio, mean|theta|) — one host sync. Accepts a
@@ -397,6 +480,18 @@ class NESEngine(PopulationEngine):
         arr = np.asarray(packed)
         fits = arr[..., :-2].reshape(*arr.shape[:-1], F, 2)
         return fits, arr[..., -2], arr[..., -1]
+
+    @staticmethod
+    def unpack_val(packed, F: int, E: int):
+        """Block rows from generation_val_block: (fitnesses (K, F, 2),
+        ratio (K,), norm (K,), val (K,), post-merge elite scores (K, E)) —
+        one host sync."""
+        arr = np.asarray(packed)
+        fits = arr[..., : 2 * F].reshape(*arr.shape[:-1], F, 2)
+        off = 2 * F
+        etops = arr[..., off + 3:] if E else arr[..., :0]
+        return (fits, arr[..., off], arr[..., off + 1], arr[..., off + 2],
+                etops)
 
     def eval_generation(self, theta, sens, sigma, seeds: np.ndarray,
                         idx: np.ndarray):
@@ -512,6 +607,10 @@ class NESMaster:
         seed = self.tpu_cfg.seed
         self._rng = np.random.default_rng(seed)
         self._last_eval = None
+        # tpu.fused_validation state: device-resident podium rows + the
+        # deferred-slot-file flag (see _materialize_podium)
+        self._elites_dev = None
+        self._podium_dirty = False
         self._init_theta(exp)
         self._sampler = None  # built lazily; rebuilt on annealing
 
@@ -650,6 +749,119 @@ class NESMaster:
         v = jnp.maximum(v, underflow)
         self._sens = self._place(v / v.min())
 
+    # ---- tpu.fused_validation (in-program validation + device podium) -----------
+
+    def _val_fused_mode(self) -> bool:
+        """Gate for the in-program-validation path (tpu.fused_validation,
+        utils/config.py): needs the fused fitness path, a device-validating
+        task, reference validation cadence (val_freq=1), and patience=0
+        (patience could anneal sigma mid-block; its bad-generation counter
+        is host bookkeeping tied to per-generation podium submission)."""
+        want = getattr(self.tpu_cfg, "fused_validation", "auto")
+        if want is False:
+            return False
+        capable = (
+            self.task.fitness_on_device
+            and max(self.tpu_cfg.val_freq, 1) == 1
+            and not self.config.patience
+            and self.task.device_val_consts() is not None
+        )
+        if want == "auto":
+            return capable and self.tpu_cfg.gens_per_dispatch > 1
+        if not capable:
+            logger.warning(
+                "tpu.fused_validation=true but this run cannot fuse "
+                "validation (needs a device-validating task on the fused "
+                "fitness path, val_freq=1, patience=0); using host "
+                "validation")
+        return capable
+
+    def _elite_rows_dev(self):
+        """Device-resident podium rows (E, dim), built from the slot files
+        on first use; unfilled slots are zero rows whose -inf scores keep
+        them inert in the device merge."""
+        if self._elites_dev is None:
+            spec = self.task.spec
+            elites = self.it.best_elites()
+            rows = np.zeros((len(elites), self.engine.dim), np.float32)
+            for r, (path, _) in enumerate(elites):
+                if path and os.path.isfile(path):
+                    rows[r] = spec.load_pth(path)
+            self._elites_dev = self._place(jnp.asarray(rows))
+        return self._elites_dev
+
+    def _elite_scores_f32(self) -> np.ndarray:
+        return np.asarray(
+            [float(np.float32(s)) if p else -np.inf
+             for p, s in self.it.best_elites()],
+            np.float32,
+        )
+
+    def _materialize_podium(self):
+        """Settle deferred podium slot files: pull the device-merged elite
+        rows and rewrite the slots so on-disk bytes match the adopted
+        scores (mirrors ESMaster._materialize_podium — the eager (E, dim)
+        pull measured 6-38 s through this harness's tunnel). MUST run
+        before anything reads podium files (snapshot, resume artifacts)."""
+        if not self._podium_dirty:
+            return
+        scores = [s for _, s in self.it.best_elites() if np.isfinite(s)]
+        rows = pull_chunked(self._elites_dev)
+        self.it.install_merged_podium(
+            scores, rows,
+            lambda row, path: self.task.spec.save_pth(row, path),
+        )
+        self._podium_dirty = False
+
+    def _val_fused_step(self, b: int, t_block: float, sigma, seeds, idx,
+                        sens, F: int, plot: bool):
+        """``b`` chained generations with in-program validation + device
+        podium merge: one dispatch, one packed pull. Per-generation host
+        bookkeeping is replayed from the pulled rows; the podium's merged
+        SCORES are adopted immediately (any entry strictly beats the slot
+        it displaces, so 'changed' is detectable from scores alone) while
+        the merged rows stay device-resident until _materialize_podium.
+        Each generation gets a FRESH validation score of its own pre-update
+        theta — the reference's every-generation eval cadence
+        (nic_nes/iteration.py:49-50) at block dispatch rates."""
+        config, it = self.config, self.it
+        E = len(it.best_elites())
+        new_theta, new_opt_state, e_rows, packs = \
+            self.engine.generation_val_block(
+                self.theta, self.opt_state, sens, sigma, seeds, idx,
+                self.optimizer.stepsize, config.l2coeff or 0.0,
+                self._elite_rows_dev(), self._elite_scores_f32(),
+            )
+        fits_all, ratios, norms, vals, etops = self.engine.unpack_val(
+            packs, F, E
+        )  # the block's single host sync
+        block_dt = time.time() - t_block
+        self.theta, self.opt_state = new_theta, new_opt_state
+        # must precede _record_stats: a snapshot serializes
+        # experiment.opt_state next to the post-update theta
+        self.experiment.opt_state = self.opt_state
+
+        # adopt the merged scoreboard BEFORE the stats loop: blocks end
+        # exactly on snapshot iterations, and the k==b-1 snapshot must see
+        # the post-merge podium (its slot files settle lazily)
+        pre = [float(np.float32(s)) for _, s in it.best_elites()]
+        final = [float(s) for s in etops[b - 1]] if E else []
+        self._elites_dev = e_rows
+        if final != pre:
+            it.adopt_merged_scores([s for s in final if np.isfinite(s)])
+            self._podium_dirty = True
+
+        for k in range(b):
+            if k:
+                it.incr_iteration()
+                logger.info("********** Iteration %d (chained) **********",
+                            it.iteration())
+            self._record_stats(
+                fits_all[k], ratios[k], [norms[k]], float(vals[k]),
+                block_dt / b, plot,
+                best_acc=float(etops[k][0]) if E else None,
+            )
+
     def _profile_hook(self, iteration: int):
         """Trace generation 2 with jax.profiler when tpu.profile is set
         (the reference's cProfile launch scripts' role — SURVEY.md §5.1)."""
@@ -716,9 +928,12 @@ class NESMaster:
         if limit:
             b = min(b, limit - self.it.iteration())
         vf = max(self.tpu_cfg.val_freq, 1)
-        if vf == 1:
+        if getattr(self, "_val_fused", False):
+            pass  # every generation validates in-program: no val boundary
+        elif vf == 1:
             return 1  # per-generation validation = per-generation dispatch
-        b = min(b, self._gap_to_next(nxt, vf))
+        else:
+            b = min(b, self._gap_to_next(nxt, vf))
         if self.config.schedule_limit:
             b = min(b, self._gap_to_next(
                 nxt, self.config.schedule_limit,
@@ -761,10 +976,14 @@ class NESMaster:
         self.it.record_eval_result(0, self._current_path, eval_score)
         self.it.process_evaluated_elites()
 
-    def _record_stats(self, fitnesses, ratio, norm_vec, eval_score, dt, plot):
+    def _record_stats(self, fitnesses, ratio, norm_vec, eval_score, dt, plot,
+                      best_acc=None):
         """Stats + snapshot for one completed generation. Runs AFTER the
         update: the snapshot's current_model is the post-update theta (the
-        reference's resume point)."""
+        reference's resume point). ``best_acc`` overrides the best-elite
+        score for val-fused blocks (interior generations' podium states
+        exist only inside the device scan; the host scoreboard holds the
+        block-end merge)."""
         config, it, stats = self.config, self.it, self.stats
         stats.record_update_ratio(float(ratio))
         stats.record_score_stats(np.asarray(fitnesses).ravel())
@@ -772,13 +991,16 @@ class NESMaster:
         stats.record_step_time_stats(dt=dt)
         stats.record_norm_stats(norm_vec)
         stats.record_acc_stats(eval_score)
-        stats.record_best_acc_stats(it.best_elites()[0][1])
+        stats.record_best_acc_stats(
+            it.best_elites()[0][1] if best_acc is None else best_acc
+        )
         stats.record_std_stats(it.noise_stdev())
         stats.update_mem_stats()
         stats.log_stats()
         it.log_stats()
 
         if config.snapshot_freq and it.iteration() % config.snapshot_freq == 0:
+            self._materialize_podium()  # z_info references podium slots
             self._write_current_model()  # z_info references this file
             save_snapshot(stats, it, self.experiment)
             if plot:
@@ -790,6 +1012,10 @@ class NESMaster:
         F = self._pair_count()
         fused = self.task.fitness_on_device
         val_freq = max(self.tpu_cfg.val_freq, 1)
+        self._val_fused = self._val_fused_mode()
+        if self._val_fused:
+            logger.info("fused validation: in-program per-generation "
+                        "validation + device-resident podium")
 
         while not limit or it.iteration() < limit:
             it.incr_epoch()
@@ -819,6 +1045,17 @@ class NESMaster:
                         idx = np.empty((b, *row.shape), row.dtype)
                     idx[k] = row
                 sens = self._maybe_sensitivity(idx[0, 0])
+
+                if fused and self._val_fused:
+                    # validation + podium merge run inside the block program
+                    self._val_fused_step(b, t_block, sigma, seeds, idx,
+                                         sens, F, plot)
+                    if it.patience_reached() or it.schedule_reached():
+                        if config.stepsize_divisor:
+                            self.optimizer.stepsize /= config.stepsize_divisor
+                        self._sampler = None
+                        break  # rebuild the epoch at the new batch size
+                    continue
 
                 if fused:
                     # b generations in one dispatch, one host sync
@@ -890,6 +1127,7 @@ class NESMaster:
                     self._sampler = None  # rebuilt at the new batch size
                     break  # rebuild the epoch at the new batch size
 
+        self._materialize_podium()  # settle deferred podium slot files
         self._write_current_model()
         save_snapshot(stats, it, self.experiment)
         if plot:

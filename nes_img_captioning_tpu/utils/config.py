@@ -94,6 +94,19 @@ class TpuConfig:
     # on device (SM-G-* per-parent sensitivities are computed in-program).
     # False = always the host-choreographed plain path.
     fused_es: object = "auto"
+    # in-program NES validation + device podium (mirrors the fused ES
+    # candidate validation): each generation of a block validates its
+    # pre-update theta on device (task.validate_device) and merges it into
+    # a device-resident podium with record_elites' exact semantics, so
+    # blocks no longer end at validation boundaries — reference-cadence
+    # validation (val_freq=1) runs at block rates. "auto" = on when
+    # gens_per_dispatch > 1 and the task validates on device; True forces
+    # it for per-generation driving too (fuses the validation dispatch
+    # into the generation program); requires patience=0 and val_freq=1.
+    # Deviations vs the host path (documented): scores are f32, and the
+    # per-validation predictions-JSON artifact is not written (same as the
+    # fused ES candidate validation).
+    fused_validation: object = "auto"
     # PRNG used for on-device noise/init streams: "" = jax default
     # (threefry2x32); "rbg" trades cross-backend stream identity for ~2.5x
     # faster generation on TPU (noise is regenerated twice per generation,
@@ -131,17 +144,17 @@ def parse_tpu_config(exp: dict) -> TpuConfig:
                 f"tpu.sensitivity_precision={cfg['sensitivity_precision']!r}: "
                 f"expected one of {sorted(aliases)}"
             ) from None
-    if "fused_es" in cfg and not (
-        cfg["fused_es"] is True or cfg["fused_es"] is False
-        or cfg["fused_es"] == "auto"
-    ):
-        # the gate tests `want is not False`, so near-miss spellings like
-        # 0 or "false" would silently leave the fused path ON — reject them
+    for knob in ("fused_es", "fused_validation"):
+        # the gates test `want is not False`, so near-miss spellings like
+        # 0 or "false" would silently leave the fused paths ON — reject them
         # (identity checks: `0 in (True, False)` would be truthy)
-        raise ValueError(
-            f"tpu.fused_es={cfg['fused_es']!r}: expected true, false, or "
-            f"\"auto\""
-        )
+        if knob in cfg and not (
+            cfg[knob] is True or cfg[knob] is False or cfg[knob] == "auto"
+        ):
+            raise ValueError(
+                f"tpu.{knob}={cfg[knob]!r}: expected true, false, or "
+                f"\"auto\""
+            )
     return TpuConfig(**cfg)
 
 

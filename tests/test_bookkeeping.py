@@ -135,14 +135,16 @@ class TestConfig:
         assert t.pop_chunk == 8 and t.mesh_shape == (4, 2)
         assert parse_tpu_config({}).fused_decode == "auto"
 
-    def test_fused_es_spellings_validated(self):
-        # the gate tests `is not False`: near-miss spellings (0, "false")
-        # would silently leave the fused path ON — parse must reject them
-        for good in (True, False, "auto"):
-            assert parse_tpu_config({"tpu": {"fused_es": good}}).fused_es == good
-        for bad in (0, 1, "false", "true", "off", None):
-            with pytest.raises(ValueError, match="fused_es"):
-                parse_tpu_config({"tpu": {"fused_es": bad}})
+    def test_fused_knob_spellings_validated(self):
+        # the gates test `is not False`: near-miss spellings (0, "false")
+        # would silently leave the fused paths ON — parse must reject them
+        for knob in ("fused_es", "fused_validation"):
+            for good in (True, False, "auto"):
+                assert getattr(
+                    parse_tpu_config({"tpu": {knob: good}}), knob) == good
+            for bad in (0, 1, "false", "true", "off", None):
+                with pytest.raises(ValueError, match=knob):
+                    parse_tpu_config({"tpu": {knob: bad}})
 
 
 class TestOptimizerTar:

@@ -225,6 +225,41 @@ def test_sensitivity_lever_knobs(coco_fixture):
     assert np.isfinite(wide).all() and wide.min() >= 1.0
 
 
+@pytest.mark.slow
+def test_coco_val_fused_matches_host(coco_fixture, tmp_path):
+    """tpu.fused_validation on the captioning task: in-program word-level
+    CIDEr validation + device podium reproduce the host path — identical
+    theta trajectory (validation never feeds the update) and acc/podium
+    scores to f32 (validate_device vs validate)."""
+    from nes_img_captioning_tpu.algorithms.nes import NESMaster
+
+    masters = []
+    for tag, tpu in (("host", {"seed": 0}),
+                     ("fused", {"seed": 0, "fused_validation": True,
+                                "gens_per_dispatch": 2})):
+        exp = _coco_exp(coco_fixture, str(tmp_path / tag), nb_offspring=4)
+        exp["config"]["snapshot_freq"] = 0
+        exp["tpu"] = tpu
+        m = NESMaster(exp)
+        m.run_master(max_iterations=4)
+        masters.append(m)
+
+    a, b = masters
+    assert not a._val_fused and b._val_fused
+    np.testing.assert_allclose(np.asarray(a.theta), np.asarray(b.theta),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(a.stats.acc_stats(), np.float64),
+        np.asarray(b.stats.acc_stats(), np.float64),
+        rtol=1e-4, atol=1e-6)
+    (pa, sca), (pb, scb) = a.it.best_elites()[0], b.it.best_elites()[0]
+    assert os.path.isfile(pa) and os.path.isfile(pb)
+    np.testing.assert_allclose(scb, sca, rtol=1e-4)
+    np.testing.assert_allclose(
+        b.task.spec.load_pth(pb), a.task.spec.load_pth(pa),
+        rtol=1e-5, atol=1e-6)
+
+
 def test_coco_es_from_single_list(coco_fixture, tmp_path):
     """ES warm start from a LIST of .pth files (reference init_from_singles,
     nic_es/iteration.py:63-81): each file becomes a parent and the first

@@ -348,6 +348,119 @@ def test_smg_blocks_match_per_gen(tmp_path):
         )
 
 
+def test_val_fused_smoke(tmp_path):
+    """tpu.fused_validation=true: validation + podium merge run inside the
+    generation program; the host adopts scores and settles slot files
+    lazily. Every generation records a FRESH validation score (reference
+    cadence), and run end leaves real podium files behind."""
+    import os
+
+    from nes_img_captioning_tpu.algorithms.nes import NESMaster
+
+    exp = _mnist_exp("nic_nes", str(tmp_path / "run"),
+                     tpu={"fused_validation": True})
+    exp["config"]["patience"] = 0
+    master = NESMaster(exp)
+    master.run_master(max_iterations=3)
+    assert master._val_fused
+    accs = master.stats.acc_stats()
+    assert len(accs) == 3 and all(np.isfinite(accs))
+    path, score = master.it.best_elites()[0]
+    assert os.path.isfile(path)
+    assert float(np.float32(score)) in [float(np.float32(a)) for a in accs]
+    # the archived elite bytes are a real pre-update theta: loading them
+    # reproduces the archived score through host validation
+    theta_e = master.task.spec.load_pth(path)
+    np.testing.assert_allclose(
+        master.task.validate(theta_e), score, rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_val_fused_blocks_match_host_validation(tmp_path):
+    """The val-fused block path (in-program validation + device podium,
+    tpu.fused_validation + gens_per_dispatch) must reproduce the host
+    per-generation path: same theta trajectory, same stat series (incl.
+    the acc series — MNIST host validation IS the jitted validate_device),
+    same podium scores AND slot-file bytes."""
+    import os
+
+    from nes_img_captioning_tpu.algorithms.nes import NESMaster
+    from nes_img_captioning_tpu.utils.config import load_experiment
+
+    masters = []
+    for tag, tpu in (("host", {}),
+                     ("fused", {"fused_validation": True,
+                                "gens_per_dispatch": 4})):
+        exp = load_experiment("experiments/mnist_nes.json")
+        exp["log_dir"] = str(tmp_path / f"run_{tag}")
+        exp["nb_offspring"] = 8
+        exp["config"].update({"batch_size": 8, "patience": 0,
+                              "snapshot_freq": 4, "_schedule_limit": 1})
+        exp["config"].pop("schedule_limit", None)
+        exp["synthetic_sizes"] = [64, 32]
+        exp["policy_options"]["model_options"]["safe_mutations"] = ""
+        exp["num_elites"] = 2
+        exp["tpu"] = {"seed": 7, **tpu}
+        m = NESMaster(exp)
+        m.run_master(max_iterations=8)
+        masters.append(m)
+
+    a, b = masters
+    assert not a._val_fused and b._val_fused
+    sa, sb = a.stats.to_dict(), b.stats.to_dict()
+    for key in ("score_stats", "update_ratio_stats", "acc_stats",
+                "norm_stats", "noise_std_stats", "best_acc_so_far_stats"):
+        np.testing.assert_allclose(
+            np.asarray(sa[key], np.float64), np.asarray(sb[key], np.float64),
+            rtol=1e-5, atol=1e-6, err_msg=key)
+    np.testing.assert_allclose(np.asarray(a.theta), np.asarray(b.theta),
+                               rtol=1e-5, atol=1e-6)
+    for (pa, sca), (pb, scb) in zip(a.it.best_elites(), b.it.best_elites()):
+        assert bool(pa) == bool(pb)
+        if pa:
+            assert os.path.isfile(pb)
+            np.testing.assert_allclose(scb, sca, rtol=1e-6)
+            np.testing.assert_allclose(
+                b.task.spec.load_pth(pb), a.task.spec.load_pth(pa),
+                rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_val_fused_resume_from_infos(tmp_path):
+    """A z_info written at a val-fused block boundary is a valid resume
+    point: the deferred podium slot files are settled before the snapshot,
+    and a fresh master resumes from it and keeps training."""
+    import glob
+    import json
+
+    from nes_img_captioning_tpu.algorithms.nes import NESMaster
+
+    exp = _mnist_exp("nic_nes", str(tmp_path / "run"),
+                     tpu={"fused_validation": True, "gens_per_dispatch": 2,
+                          "seed": 3})
+    exp["config"]["patience"] = 0
+    exp["config"]["snapshot_freq"] = 2
+    master = NESMaster(exp)
+    master.run_master(max_iterations=4)
+    zinfo = glob.glob(str(tmp_path / "run" / "snapshot" / "z_info_*.json"))[0]
+    with open(zinfo) as f:
+        infos = json.load(f)
+    assert infos["iter"] == 4
+    for p, _ in infos["best_elites"]:
+        assert os.path.isfile(p), p
+
+    exp2 = _mnist_exp("nic_nes", str(tmp_path / "resumed"),
+                      tpu={"fused_validation": True, "gens_per_dispatch": 2,
+                           "seed": 3})
+    exp2["config"]["patience"] = 0
+    exp2["from_infos"] = zinfo
+    master2 = NESMaster(exp2)
+    master2.run_master(max_iterations=6)
+    assert master2.it.iteration() == 6
+    # resumed podium carries the checkpointed scores forward (never worse)
+    assert master2.it.best_elites()[0][1] >= infos["best_elites"][0][1]
+
+
 @pytest.mark.slow
 def test_carried_scores_enter_podium_once(tmp_path):
     """With val_freq > 1 and chained blocks, a validation score is carried

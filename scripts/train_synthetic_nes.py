@@ -46,8 +46,17 @@ def main():
     parser.add_argument("--sens-precision", type=str, default="float32")
     parser.add_argument("--no-fused-es", action="store_true",
                         help="force the host-choreographed ES path")
+    parser.add_argument("--fused-validation", default="auto",
+                        choices=["auto", "true", "false"],
+                        help="NES in-program validation + device podium "
+                        "(tpu.fused_validation; needs --val-freq 1 to do "
+                        "anything). auto = on when --block > 1")
     parser.add_argument("--block", type=int, default=8,
                         help="tpu.gens_per_dispatch (both algorithms)")
+    parser.add_argument("--platform", type=str, default=None,
+                        help="force a jax platform (e.g. cpu for sanity "
+                        "runs; the JAX_PLATFORMS env var is ignored here "
+                        "because the TPU plugin presets it)")
     parser.add_argument("--snapshot-freq", type=int, default=0,
                         help="config.snapshot_freq (0 = final only; each "
                         "ES snapshot pulls ~540 MB of parent rows through "
@@ -56,6 +65,8 @@ def main():
 
     import jax
 
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
@@ -118,6 +129,21 @@ def main():
         log(f"XENT pretrain {args.xent_steps} steps: {time.time() - t0:.0f}s")
     exp["from_single"] = pre_path
 
+    if args.safe_mutations:
+        # SM-G on either algorithm: ES computes per-parent sensitivities
+        # in-program (fused_es); NES inlines the current-theta sensitivity
+        # into the fused generation (inline_sens, late r3) so SM-G blocks
+        # work there too
+        exp["policy_options"]["model_options"].update(
+            safe_mutations=args.safe_mutations,
+            safe_mutation_underflow=0.01,
+        )
+        exp["tpu"].update(
+            sensitivity_batch=args.sens_batch,
+            sensitivity_split=args.sens_split,
+            sensitivity_precision=args.sens_precision,
+        )
+
     if args.algo == "nic_es":
         # the reference's mscoco_es.json regime: mu=50 parents, truncation
         # selection, elite candidates validated every generation (val_freq
@@ -127,22 +153,15 @@ def main():
         exp["num_elite_cands"] = 3
         exp["selection"] = "uniform"
         exp["tpu"].pop("val_freq", None)
-        if args.safe_mutations:
-            exp["policy_options"]["model_options"].update(
-                safe_mutations=args.safe_mutations,
-                safe_mutation_underflow=0.01,
-            )
-            exp["tpu"].update(
-                sensitivity_batch=args.sens_batch,
-                sensitivity_split=args.sens_split,
-                sensitivity_precision=args.sens_precision,
-            )
         if args.no_fused_es:
             exp["tpu"]["fused_es"] = False
         from nes_img_captioning_tpu.algorithms.es import ESMaster
 
         master = ESMaster(exp)
     else:
+        exp["tpu"]["fused_validation"] = {
+            "auto": "auto", "true": True, "false": False,
+        }[args.fused_validation]
         master = NESMaster(exp)
     t0 = time.time()
     master.run_master(max_iterations=args.gens)

@@ -82,6 +82,15 @@ class NESEngine(PopulationEngine):
                 and task.fitness_on_device
             )
         self.inline_sens = bool(inline_sens)
+        if self.inline_sens and mutation not in (
+            MutationKind.SAFE_GRAD_SUM, MutationKind.SAFE_GRAD_ABS
+        ):
+            raise ValueError(
+                "inline_sens=True requires an SM-G-* mutation (the traced "
+                f"sensitivity has no definition for {mutation}); pass "
+                "inline_sens=False (or None for auto) with "
+                f"mutation={mutation}"
+            )
 
         self._eval_jit = jax.jit(self._eval_fn, static_argnames=("with_deltas",))
         self._update_jit = jax.jit(self._update_fn)
@@ -397,29 +406,30 @@ class NESEngine(PopulationEngine):
             subsample_batch_rows(r, self._sens_batch) for r in idx_members0
         ]).astype(np.int32)
 
+    def _lay_block(self, a: np.ndarray, n_chunks: int, chunk: int):
+        """Block-path member layout, shared by both block entry points:
+        (K, F, ...) host array -> (K, n_chunks, chunk, ...), padded by
+        repeating the last member, population-sharded over the mesh."""
+        from ..parallel.mesh import pop_axis_size, shard_population
+
+        K = a.shape[0]
+        pad = n_chunks * chunk - a.shape[1]
+        if pad:
+            a = np.concatenate([a, np.repeat(a[:, -1:], pad, axis=1)], axis=1)
+        a = a.reshape(K, n_chunks, chunk, *a.shape[2:])
+        if self.mesh is None or pop_axis_size(self.mesh) == 1:
+            return a
+        return shard_population(self.mesh, a, axis=2)
+
     def generation_block(self, theta, opt_state, sens, sigma,
                          seeds: np.ndarray, idx: np.ndarray,
                          stepsize: float, l2coeff: float):
         """K generations per dispatch. seeds (K, F), idx (K, F, B); returns
         (theta, opt_state, packs (K, 2F+2) device handle)."""
-        from ..parallel.mesh import pop_axis_size, shard_population
-
         K, F = seeds.shape
         n_chunks, chunk = self._plan(F)
-
-        def lay(a):
-            pad = n_chunks * chunk - a.shape[1]
-            if pad:
-                a = np.concatenate(
-                    [a, np.repeat(a[:, -1:], pad, axis=1)], axis=1
-                )
-            a = a.reshape(K, n_chunks, chunk, *a.shape[2:])
-            if self.mesh is None or pop_axis_size(self.mesh) == 1:
-                return a
-            return shard_population(self.mesh, a, axis=2)
-
-        seeds_d = lay(seeds.astype(np.uint32))
-        idx_d = lay(idx.astype(np.int32))
+        seeds_d = self._lay_block(seeds.astype(np.uint32), n_chunks, chunk)
+        idx_d = self._lay_block(idx.astype(np.int32), n_chunks, chunk)
         if not hasattr(self, "_generation_block_jit"):
             self._generation_block_jit = jax.jit(
                 self._generation_block_fn, static_argnames=("n_pairs",),
@@ -441,24 +451,10 @@ class NESEngine(PopulationEngine):
         (E, dim) device-resident podium rows (zeros for unfilled slots),
         e_scores (E,) float32 slot scores (-inf unfilled). Returns (theta,
         opt_state, e_rows, packs (K, 2F+3+E) device handle)."""
-        from ..parallel.mesh import pop_axis_size, shard_population
-
         K, F = seeds.shape
         n_chunks, chunk = self._plan(F)
-
-        def lay(a):
-            pad = n_chunks * chunk - a.shape[1]
-            if pad:
-                a = np.concatenate(
-                    [a, np.repeat(a[:, -1:], pad, axis=1)], axis=1
-                )
-            a = a.reshape(K, n_chunks, chunk, *a.shape[2:])
-            if self.mesh is None or pop_axis_size(self.mesh) == 1:
-                return a
-            return shard_population(self.mesh, a, axis=2)
-
-        seeds_d = lay(seeds.astype(np.uint32))
-        idx_d = lay(idx.astype(np.int32))
+        seeds_d = self._lay_block(seeds.astype(np.uint32), n_chunks, chunk)
+        idx_d = self._lay_block(idx.astype(np.int32), n_chunks, chunk)
         if not hasattr(self, "_generation_val_block_jit"):
             self._generation_val_block_jit = jax.jit(
                 self._generation_val_block_fn, static_argnames=("n_pairs",),
@@ -736,7 +732,10 @@ class NESMaster:
                 idx_row, getattr(self.tpu_cfg, "sensitivity_batch", 0)
             )
             self._sens = calc_sensitivity(
-                self.task, self.theta, idx_s, self.mutation, underflow
+                self.task, self.theta, idx_s, self.mutation, underflow,
+                matmul_precision=getattr(
+                    self.tpu_cfg, "sensitivity_precision", "float32"
+                ),
             )
         elif self.mutation is MutationKind.SAFE_VECTOR:
             pass  # set once at startup via set_sensitivity_vector

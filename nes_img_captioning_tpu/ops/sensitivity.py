@@ -20,8 +20,6 @@ vectorizes the reference's K explicit backward passes into one vmapped VJP.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 
@@ -54,37 +52,6 @@ def postprocess(sens: jax.Array, underflow: float) -> jax.Array:
     return sens / underflow
 
 
-@partial(jax.jit, static_argnums=(0,))
-def _sum_sens(forward, theta, idx, consts):
-    out_fn = lambda th: forward(th, idx, consts).sum(0)
-    batch = forward(theta, idx, consts).shape[0]
-    J = jax.jacrev(out_fn)(theta)  # (K, dim)
-    return jnp.sqrt((J**2).sum(0)) / batch
-
-
-@partial(jax.jit, static_argnums=(0,))
-def _abs_sens(forward, theta, idx, consts):
-    def sample_jac(carry, i):
-        # single-sample forward: (1, K) -> (K,); jacrev -> (K, dim).
-        # idx[i][None] (gather + new axis) — a [i:i+1] slice would need a
-        # static start under the scan tracer
-        J_i = jax.jacrev(
-            lambda th: forward(th, idx[i][None], consts)[0]
-        )(theta)
-        return carry + jnp.abs(J_i), None
-
-    B = idx.shape[0]
-    K = jax.eval_shape(
-        lambda th: forward(th, idx[0:1], consts)[0], theta
-    ).shape[0]
-    dim = theta.shape[0]
-    acc, _ = jax.lax.scan(
-        sample_jac, jnp.zeros((K, dim), jnp.float32), jnp.arange(B)
-    )
-    J = acc / B
-    return jnp.sqrt((J**2).sum(0))
-
-
 def sum_sens_many_traced(forward, thetas, idx, consts,
                          matmul_precision: str = "float32"):
     """SM-G-SUM for a whole (P, dim) parent matrix in ONE program: lax.map
@@ -100,14 +67,11 @@ def sum_sens_many_traced(forward, thetas, idx, consts,
     Traced form (pre-postprocess): also inlined into the fused ES
     generation program (algorithms/es.py), which is why it is not jitted
     here."""
-    batch = forward(thetas[0], idx, consts).shape[0]
-
-    def one(theta):
-        with jax.default_matmul_precision(matmul_precision):
-            J = jax.jacrev(lambda th: forward(th, idx, consts).sum(0))(theta)
-        return jnp.sqrt((J.astype(jnp.float32) ** 2).sum(0)) / batch
-
-    return jax.lax.map(one, thetas)
+    return jax.lax.map(
+        lambda th: sum_sens_traced(forward, th, idx, consts,
+                                   matmul_precision),
+        thetas,
+    )
 
 
 def sum_sens_traced(forward, theta, idx, consts,
@@ -136,6 +100,13 @@ def abs_sens_many_traced(forward, thetas, idx, consts):
 
 _sum_sens_many = jax.jit(sum_sens_many_traced, static_argnums=(0, 4))
 _abs_sens_many = jax.jit(abs_sens_many_traced, static_argnums=(0,))
+# single-theta jitted entry points (calc_sensitivity / sm_g_*): the SAME
+# traced bodies the engines inline, so the host fallback path and the
+# in-program path share one definition — including the forced-f32 Jacobian
+# dots (on TPU the ambient default is bf16; the inline/host parity tests
+# rely on both paths resolving precision identically)
+_sum_sens = jax.jit(sum_sens_traced, static_argnums=(0, 4))
+_abs_sens = jax.jit(abs_sens_traced, static_argnums=(0,))
 
 
 def _abs_sens_scan(forward, theta, idx, consts):
@@ -175,21 +146,28 @@ def calc_sensitivities(task, thetas, idx, kind: MutationKind, underflow: float,
     raise ValueError(f"no gradient sensitivity for {kind}")
 
 
-def sm_g_sum(forward, theta, idx, underflow: float, consts=None) -> jax.Array:
-    return postprocess(_sum_sens(forward, theta, idx, consts), underflow)
+def sm_g_sum(forward, theta, idx, underflow: float, consts=None,
+             matmul_precision: str = "float32") -> jax.Array:
+    return postprocess(
+        _sum_sens(forward, theta, idx, consts, matmul_precision), underflow
+    )
 
 
 def sm_g_abs(forward, theta, idx, underflow: float, consts=None) -> jax.Array:
     return postprocess(_abs_sens(forward, theta, idx, consts), underflow)
 
 
-def calc_sensitivity(task, theta, idx, kind: MutationKind, underflow: float):
+def calc_sensitivity(task, theta, idx, kind: MutationKind, underflow: float,
+                     matmul_precision: str = "float32"):
     """Dispatch on mutation kind; ``task.sensitivity_forward(theta, idx,
-    consts)`` must return the (B, K) grouped output."""
+    consts)`` must return the (B, K) grouped output. ``matmul_precision``
+    per tpu.sensitivity_precision (SM-G-SUM only — the ABS path's cost is
+    the per-sample scan, not the dots)."""
     forward = task.sensitivity_forward
     consts = task.device_consts()
     if kind is MutationKind.SAFE_GRAD_SUM:
-        return sm_g_sum(forward, theta, idx, underflow, consts)
+        return sm_g_sum(forward, theta, idx, underflow, consts,
+                        matmul_precision)
     if kind is MutationKind.SAFE_GRAD_ABS:
         return sm_g_abs(forward, theta, idx, underflow, consts)
     raise ValueError(f"no gradient sensitivity for {kind}")

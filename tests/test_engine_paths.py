@@ -207,6 +207,49 @@ def test_sensitivity_precision_knob_plumbs():
     np.testing.assert_allclose(a, b, rtol=1e-6)
 
 
+def test_inline_sens_requires_smg_mutation():
+    """inline_sens=True with a non-SM-G mutation must be rejected at
+    construction (the traced sensitivity would otherwise silently compute
+    SM-G-ABS and overwrite the caller's sens operand)."""
+    import pytest
+
+    from nes_img_captioning_tpu.algorithms.nes import NESEngine
+    from nes_img_captioning_tpu.algorithms.optimizers import Adam
+    from nes_img_captioning_tpu.ops.mutation import MutationKind
+
+    task = _mnist_task()
+    for kind in (MutationKind.DEFAULT, MutationKind.SAFE_VECTOR):
+        with pytest.raises(ValueError, match="inline_sens"):
+            NESEngine(task, Adam(0.01), kind, inline_sens=True)
+    # auto (None) and explicit False stay valid for every kind
+    assert NESEngine(task, Adam(0.01), MutationKind.DEFAULT).inline_sens \
+        is False
+    eng = NESEngine(task, Adam(0.01), MutationKind.SAFE_GRAD_SUM,
+                    inline_sens=False)
+    assert eng.inline_sens is False
+
+
+def test_host_and_traced_sum_sens_share_one_definition():
+    """calc_sensitivity (the inline_sens=False fallback) and the traced
+    form the engines inline must be the same computation — including the
+    forced-f32 Jacobian dots that differ from the TPU ambient default.
+    Tolerance is last-ulp: the two entry points compile as separate XLA
+    programs, so fusion choices may differ, but any semantic divergence
+    (e.g. a precision-context mismatch) is orders of magnitude larger."""
+    from nes_img_captioning_tpu.ops.mutation import MutationKind
+    from nes_img_captioning_tpu.ops.sensitivity import (
+        calc_sensitivity, postprocess, sum_sens_traced)
+
+    task = _mnist_task()
+    theta = task.generate_theta(jax.random.PRNGKey(3))
+    idx = jnp.asarray(np.arange(6, dtype=np.int32))
+    host = np.asarray(calc_sensitivity(
+        task, theta, idx, MutationKind.SAFE_GRAD_SUM, 0.01))
+    traced = np.asarray(postprocess(sum_sens_traced(
+        task.sensitivity_forward, theta, idx, task.device_consts()), 0.01))
+    np.testing.assert_allclose(host, traced, rtol=1e-6, atol=0)
+
+
 def test_batched_sensitivities_match_per_parent():
     """The fused per-parent sensitivity sweep (one lax.map program) must
     reproduce the per-parent calc_sensitivity calls exactly, for both

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["FITNESS_CRITERIA", "apply_criterion"]
+__all__ = ["FITNESS_CRITERIA", "apply_criterion", "criterion_device"]
 
 _LOG10_9 = np.log10(9.0)
 _E = np.e
@@ -68,3 +68,35 @@ def apply_criterion(fitness_name: str, lp, seq, reward):
     return FITNESS_CRITERIA[fitness_name](
         np.asarray(lp, np.float64), np.asarray(seq), np.asarray(reward, np.float64)
     )
+
+
+def criterion_device(fitness_name: str, lp, seq, reward):
+    """Traced jnp form of the five criteria — lets the per-token variants
+    ride the on-device fitness path (one fused generation program, no
+    logprob tensor leaving the chip). Same formulas and mask semantics as
+    the host port above (reference: src/captioning/fitness.py); reduces in
+    f32 where the host port uses f64 — equivalence is pinned to 1e-5 by
+    tests/test_cider_device.py. ``reward`` broadcasts against ``lp``
+    ((R, 1) per-row scores or a full (R, T))."""
+    import jax.numpy as jnp
+
+    lp = lp.astype(jnp.float32)
+    m = jnp.concatenate(
+        [jnp.ones((seq.shape[0], 1), jnp.float32),
+         (seq[:, :-1] > 0).astype(jnp.float32)], axis=1,
+    )
+    p = jnp.exp(lp)
+    pfact = jnp.log10(p + 1.0 / 9.0) + _LOG10_9
+    if fitness_name == "sc_loss":
+        term = -lp * reward
+    elif fitness_name == "greedy_logprob":
+        term = pfact * reward
+    elif fitness_name == "greedy_avgprob":
+        term = 0.5 * reward + 0.5 * pfact * reward
+    elif fitness_name == "greedy_expprob":
+        term = (jnp.exp(p) - 1.0) / (_E - 1.0) * reward
+    elif fitness_name == "greedy_linprob":
+        term = p * reward
+    else:
+        raise KeyError(fitness_name)
+    return (term * m).sum() / m.sum()

@@ -110,11 +110,14 @@ class CocoTask(Task):
         # on-chip CIDEr-D fitness (ops/cider_device.py): eliminates the
         # per-generation token transfer + host scoring — only the (F, 2)
         # fitness scalars cross the host boundary (BASELINE.md constraint).
-        # Per-token criteria variants keep the host path (they consume the
-        # full logprob tensor anyway).
+        # All 8 fitness kinds qualify: the per-token criteria variants
+        # compute their masked reductions on device too
+        # (fitness/criteria.py:criterion_device), so the logprob tensor
+        # never leaves the chip either.
         want_dc = getattr(tpu_cfg, "device_cider", "auto")
         can_dc = (
-            self.fitness_kind in ("greedy", "sample", "self_critical")
+            (self.fitness_kind in ("greedy", "sample", "self_critical")
+             or self.fitness_kind in FITNESS_CRITERIA)
             and self.data.vocab_size + 1 < (1 << 14)
         )
         use_dc = can_dc if want_dc == "auto" else (bool(want_dc) and can_dc)
@@ -214,6 +217,23 @@ class CocoTask(Task):
             )
         return self.model.sample(theta, feats, greedy=True)
 
+    def _sample_decode_kwargs(self, s, B: int) -> dict:
+        """Sampling-decode kwargs from a per-lane seed. On TPU the kernel
+        seeds its on-chip PRNG; in interpret mode (tests — the prng
+        primitives have no CPU lowering) a host-derived Gumbel table keyed
+        by the same seed stands in. Token streams differ between the two
+        RNGs (both are exact categorical samplers)."""
+        if not self._fused_interpret:
+            return {"seed": s.astype(jnp.int32)}
+        from ..ops.decode_pallas import pad_vocab
+
+        T = self.model.options.seq_length
+        g = jax.random.gumbel(
+            jax.random.fold_in(jax.random.PRNGKey(0), s.astype(jnp.uint32)),
+            (T, B, pad_vocab(self.data.vocab_size + 1)),
+        )
+        return {"host_rng": True, "gumbel": g}
+
     def _sampled(self, theta, feats, key, need_logprobs: bool = True):
         """seq_per_img independent multinomial samples per image, rows
         image-major like the reference's repeat(feats, 5, axis=0) layout."""
@@ -230,10 +250,11 @@ class CocoTask(Task):
                 # one kernel call per sample lane keeps the (B, Vpad)
                 # transients inside the VMEM budget
                 return decode_fused(
-                    params, feats, greedy=False, seed=s.astype(jnp.int32),
+                    params, feats, greedy=False,
                     seq_length=self.model.options.seq_length,
                     need_logprobs=need_logprobs,
                     interpret=self._fused_interpret,
+                    **self._sample_decode_kwargs(s, feats.shape[0]),
                 )
 
             seq, lp = jax.lax.map(one, seeds)  # (spi, B, T)
@@ -262,8 +283,8 @@ class CocoTask(Task):
                 key = jax.random.key(0)
             seq, lp = self._sampled(theta, feats, key, need_logprobs=need_lp)
         if self._device_cider is not None:
-            return {"fitness": self._device_fitness(theta, feats, idx, seq,
-                                                    dev=cdev)}
+            return {"fitness": self._device_fitness(
+                theta, feats, idx, seq, lp=lp if need_lp else None, dev=cdev)}
         # int16 tokens when the vocab allows: the device->host hop can run
         # over a slow tunnel (~25 MB/s measured here), so halving the payload
         # is ~47 ms per generation at bench scale
@@ -280,8 +301,8 @@ class CocoTask(Task):
         """Rollout on a decode-ordered member vector (the NES engine's
         layout fast path, ops/decode_layout.py): the per-member prep is
         slice/reshape/cast only — the transposes were paid once per
-        generation by DecodeLayout.to_dec. Only reachable for the
-        device-scored kinds (greedy | sample | self_critical)."""
+        generation by DecodeLayout.to_dec. Reachable for every
+        device-scored kind (all 8 fitness variants)."""
         from ..ops.decode_pallas import decode_fused
 
         train_fc = self.train_fc if consts is None else consts["train_fc"]
@@ -289,15 +310,16 @@ class CocoTask(Task):
         params = self.decode_layout.prep(vec_dec, self._decode_dtype)
         feats = train_fc[idx]
         T = self.model.options.seq_length
+        need_lp = self.fitness_kind in FITNESS_CRITERIA
 
-        def greedy():
+        def greedy(need_logprobs=False):
             return decode_fused(params, feats, seq_length=T,
-                                need_logprobs=False,
+                                need_logprobs=need_logprobs,
                                 interpret=self._fused_interpret,
-                                vocab_tile=self._vocab_tile)[0]
+                                vocab_tile=self._vocab_tile)
 
-        if self.fitness_kind == "greedy":
-            seq = greedy()
+        if self.fitness_kind in GREEDY_KINDS:
+            seq, lp = greedy(need_lp)
         else:
             if key is None:
                 key = jax.random.key(0)
@@ -305,16 +327,19 @@ class CocoTask(Task):
             seeds = jax.vmap(
                 lambda i: jax.random.bits(jax.random.fold_in(key, i))
             )(jnp.arange(spi))
-            seq = jax.lax.map(
+            seq, lp = jax.lax.map(
                 lambda s: decode_fused(
-                    params, feats, greedy=False, seed=s.astype(jnp.int32),
-                    seq_length=T, need_logprobs=False,
+                    params, feats, greedy=False,
+                    seq_length=T, need_logprobs=need_lp,
                     interpret=self._fused_interpret,
-                )[0],
+                    **self._sample_decode_kwargs(s, feats.shape[0]),
+                ),
                 seeds,
-            )
+            )  # (spi, B, T)
             B = feats.shape[0]
             seq = jnp.swapaxes(seq, 0, 1).reshape(B * spi, seq.shape[-1])
+            if need_lp:
+                lp = jnp.swapaxes(lp, 0, 1).reshape(B * spi, lp.shape[-1])
 
         B = idx.shape[0]
         spi = seq.shape[0] // B
@@ -323,16 +348,22 @@ class CocoTask(Task):
                                                dev=cdev)
         if self.fitness_kind in SELF_CRITICAL_KINDS:
             base = self._device_cider.score_rows(
-                greedy().astype(jnp.int32), idx, dev=cdev
+                greedy()[0].astype(jnp.int32), idx, dev=cdev
             )
             scores = scores - jnp.repeat(base, spi)
+        if self.fitness_kind in FITNESS_CRITERIA:
+            from ..fitness.criteria import criterion_device
+
+            return {"fitness": criterion_device(self.fitness_kind, lp, seq,
+                                                scores[:, None])}
         return {"fitness": scores.mean() * 100.0}
 
-    def _device_fitness(self, theta, feats, idx, seq, dev=None):
-        """On-chip fitness for the greedy/sample/self_critical kinds: scores
-        every decoded row with the device CIDEr-D scorer, mean * 100 per
-        member (self_critical subtracts the greedy-baseline score per image,
-        reference: captioning/policies.py:164-184)."""
+    def _device_fitness(self, theta, feats, idx, seq, lp=None, dev=None):
+        """On-chip fitness for every kind: scores every decoded row with
+        the device CIDEr-D scorer, then mean * 100 per member, or the
+        per-token criterion when one is selected (self_critical/sc_loss
+        subtract the greedy-baseline score per image first; reference:
+        captioning/policies.py:119-126,164-191)."""
         B = idx.shape[0]
         spi = seq.shape[0] // B
         img = idx if spi == 1 else jnp.repeat(idx, spi)
@@ -343,6 +374,13 @@ class CocoTask(Task):
             base = self._device_cider.score_rows(base_seq.astype(jnp.int32),
                                                  idx, dev=dev)
             scores = scores - jnp.repeat(base, spi)
+        if self.fitness_kind in FITNESS_CRITERIA:
+            from ..fitness.criteria import criterion_device
+
+            # per-row reward broadcast over the token axis (the host path's
+            # np.repeat(scores, T)); criterion output is NOT 100-scaled
+            return criterion_device(self.fitness_kind, lp, seq,
+                                    scores[:, None])
         return scores.mean() * 100.0
 
     # ---- host fitness ---------------------------------------------------------------

@@ -88,9 +88,15 @@ def test_device_cider_inside_jit_and_vmap():
     np.testing.assert_allclose(got2[0], want, rtol=2e-5, atol=2e-5)
 
 
-def test_task_device_fitness_matches_host_path(tmp_path):
-    """CocoTask with device_cider on vs off: identical greedy decodes must
-    yield identical fitness values (same scorer math, different location)."""
+@pytest.mark.parametrize("kind", [
+    "greedy", "sample", "self_critical", "sc_loss",
+    "greedy_logprob", "greedy_expprob", "greedy_avgprob", "greedy_linprob",
+])
+def test_task_device_fitness_matches_host_path(tmp_path, kind):
+    """CocoTask with device_cider on vs off: identical decodes must yield
+    identical fitness values for EVERY fitness kind (same math, different
+    location; the per-token criteria reduce in f32 on device vs f64 on
+    host — tolerance 1e-5)."""
     import jax
 
     from nes_img_captioning_tpu.data.synthetic import make_synthetic_coco
@@ -105,7 +111,7 @@ def test_task_device_fitness_matches_host_path(tmp_path):
         "dataset": "mscoco",
         "caption_options": copts,
         "policy_options": {
-            "fitness": "greedy", "vbn": False,
+            "fitness": kind, "vbn": False,
             "model_options": {
                 "input_encoding_size": 16, "rnn_size": 16, "fc_feat_size": 24,
             },

@@ -226,3 +226,40 @@ def test_layout_block_trajectory_exact(coco_task):
     np.testing.assert_array_equal(np.asarray(fits_b),
                                   np.stack(fits_s))
     np.testing.assert_array_equal(np.asarray(th_b), np.asarray(th))
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("kind", ["sample", "sc_loss", "greedy_linprob"])
+def test_rollout_dec_covers_all_device_kinds(tmp_path, kind):
+    """rollout_dec (the decode-layout fast path) must produce the same
+    fitness as the standard rollout for the sampled, self-critical, and
+    per-token-criterion kinds — the criteria ride the device path too."""
+    from nes_img_captioning_tpu.tasks.captioning import CocoTask
+    from nes_img_captioning_tpu.utils.config import Config, parse_tpu_config
+
+    copts = make_synthetic_coco(str(tmp_path / "d"), n_train=12, n_val=4,
+                                n_test=4, vocab_size=40, fc_feat_size=24,
+                                cap_len=6, seed=0)
+    exp = {
+        "dataset": "mscoco",
+        "caption_options": copts,
+        "policy_options": {"fitness": kind, "model_options": {
+            "input_encoding_size": 16, "rnn_size": 16, "fc_feat_size": 24,
+        }},
+        "tpu": {"seed": 0, "fused_decode": True, "precision": "f32"},
+    }
+    task = CocoTask(exp, Config(batch_size=4), parse_tpu_config(exp))
+    task._fused_interpret = True
+    assert task.fitness_on_device and task.decode_layout is not None
+
+    theta = task.generate_theta(jax.random.PRNGKey(2))
+    idx = np.arange(4, dtype=np.int32)
+    key = jax.random.key(7)
+    # jitted, as the engines always call them (eager lax.map over the
+    # kernel trips a jax lowering-cache issue unrelated to the math)
+    want = np.asarray(jax.jit(task.rollout)(theta, idx, key=key)["fitness"])
+    vec_dec = task.decode_layout.to_dec(theta)
+    got = np.asarray(
+        jax.jit(task.rollout_dec)(vec_dec, idx, key=key)["fitness"])
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+    assert np.isfinite(got)

@@ -1,10 +1,16 @@
 """Per-token reward-weighting fitness criteria.
 
-Host-side numpy ports of the reference's five criteria
-(reference: src/captioning/fitness.py). Each maps (logprobs (R,16),
-seq (R,16), rewards (R,16)) to ONE scalar for the whole rollout batch —
-the mask counts position 0 always and position t while seq[t-1] > 0
-(fitness.py:35-37), i.e. through the first emitted EOS.
+Ports of the reference's five criteria (reference: src/captioning/
+fitness.py). Each maps (logprobs (R,16), seq (R,16), rewards (R,16)) to ONE
+scalar for the whole rollout batch — the mask counts position 0 always and
+position t while seq[t-1] > 0 (fitness.py:35-37), i.e. through the first
+emitted EOS.
+
+One formula source serves two execution forms: the host path
+(``apply_criterion``, numpy f64) and the traced device path
+(``criterion_device``, jnp f32 — rides the fused generation program so the
+logprob tensor never leaves the chip; parity pinned to 1e-5 by
+tests/test_cider_device.py).
 """
 
 from __future__ import annotations
@@ -17,50 +23,52 @@ _LOG10_9 = np.log10(9.0)
 _E = np.e
 
 
+def _term(xp, name: str, lp, reward):
+    """The per-token weighted term of each criterion, over any array
+    namespace (np for the host f64 path, jnp for the traced device path).
+    ``reward`` broadcasts against ``lp`` ((R, 1) per-row scores or a full
+    (R, T)). Formulas cite src/captioning/fitness.py."""
+    if name == "sc_loss":
+        # reward * -logprob (documented harmful, fitness.py:12-40)
+        return -lp * reward
+    p = xp.exp(lp)
+    if name == "greedy_logprob":
+        # reward * (log10(p + 1/9) + log10 9) — 0 at p=0, reward at p=1
+        # (fitness.py:43-64)
+        return (xp.log10(p + 1.0 / 9.0) + _LOG10_9) * reward
+    if name == "greedy_avgprob":
+        # mean of CIDEr reward and the alt-log term (fitness.py:67-86)
+        pfact = xp.log10(p + 1.0 / 9.0) + _LOG10_9
+        return 0.5 * reward + 0.5 * pfact * reward
+    if name == "greedy_expprob":
+        # reward * (e^p - 1)/(e - 1) (code of fitness.py:90-109)
+        return (xp.exp(p) - 1.0) / (_E - 1.0) * reward
+    if name == "greedy_linprob":
+        # reward * p (fitness.py:112-132)
+        return p * reward
+    raise KeyError(name)
+
+
 def _mask(seq: np.ndarray) -> np.ndarray:
     m = (seq > 0).astype(np.float64)
     return np.concatenate([np.ones((m.shape[0], 1)), m[:, :-1]], axis=1)
 
 
-def _reduce(term, seq):
-    m = _mask(seq)
-    return float((term * m).sum() / m.sum())
+def _host(name: str):
+    def criterion(lp, seq, reward):
+        m = _mask(seq)
+        return float((_term(np, name, lp, reward) * m).sum() / m.sum())
 
-
-def log_criterion(lp, seq, reward):
-    """reward * -logprob (documented harmful, fitness.py:12-40)."""
-    return _reduce(-lp * reward, seq)
-
-
-def alt_log_criterion(lp, seq, reward):
-    """reward * (log10(p + 1/9) + log10 9) — 0 at p=0, reward at p=1."""
-    return _reduce((np.log10(np.exp(lp) + 1.0 / 9.0) + _LOG10_9) * reward, seq)
-
-
-def avg_log_criterion(lp, seq, reward):
-    """mean of CIDEr reward and the alt-log term (fitness.py:67-86)."""
-    pfact = np.log10(np.exp(lp) + 1.0 / 9.0) + _LOG10_9
-    return _reduce(0.5 * reward + 0.5 * pfact * reward, seq)
-
-
-def exp_criterion(lp, seq, reward):
-    """reward * (e^p - 1)/(e - 1) (code of fitness.py:90-109)."""
-    return _reduce((np.exp(np.exp(lp)) - 1.0) / (_E - 1.0) * reward, seq)
-
-
-def lin_criterion(lp, seq, reward):
-    """reward * p (fitness.py:112-132)."""
-    return _reduce(np.exp(lp) * reward, seq)
+    criterion.__name__ = f"{name}_criterion"
+    return criterion
 
 
 # keyed by the Fitness enum values that need a criterion
 # (reference: src/captioning/policies.py:50-61)
 FITNESS_CRITERIA = {
-    "sc_loss": log_criterion,
-    "greedy_logprob": alt_log_criterion,
-    "greedy_expprob": exp_criterion,
-    "greedy_avgprob": avg_log_criterion,
-    "greedy_linprob": lin_criterion,
+    name: _host(name)
+    for name in ("sc_loss", "greedy_logprob", "greedy_expprob",
+                 "greedy_avgprob", "greedy_linprob")
 }
 
 
@@ -71,13 +79,8 @@ def apply_criterion(fitness_name: str, lp, seq, reward):
 
 
 def criterion_device(fitness_name: str, lp, seq, reward):
-    """Traced jnp form of the five criteria — lets the per-token variants
-    ride the on-device fitness path (one fused generation program, no
-    logprob tensor leaving the chip). Same formulas and mask semantics as
-    the host port above (reference: src/captioning/fitness.py); reduces in
-    f32 where the host port uses f64 — equivalence is pinned to 1e-5 by
-    tests/test_cider_device.py. ``reward`` broadcasts against ``lp``
-    ((R, 1) per-row scores or a full (R, T))."""
+    """Traced jnp form — same ``_term`` formulas and mask semantics as the
+    host path, reduced in f32."""
     import jax.numpy as jnp
 
     lp = lp.astype(jnp.float32)
@@ -85,18 +88,4 @@ def criterion_device(fitness_name: str, lp, seq, reward):
         [jnp.ones((seq.shape[0], 1), jnp.float32),
          (seq[:, :-1] > 0).astype(jnp.float32)], axis=1,
     )
-    p = jnp.exp(lp)
-    pfact = jnp.log10(p + 1.0 / 9.0) + _LOG10_9
-    if fitness_name == "sc_loss":
-        term = -lp * reward
-    elif fitness_name == "greedy_logprob":
-        term = pfact * reward
-    elif fitness_name == "greedy_avgprob":
-        term = 0.5 * reward + 0.5 * pfact * reward
-    elif fitness_name == "greedy_expprob":
-        term = (jnp.exp(p) - 1.0) / (_E - 1.0) * reward
-    elif fitness_name == "greedy_linprob":
-        term = p * reward
-    else:
-        raise KeyError(fitness_name)
-    return (term * m).sum() / m.sum()
+    return (_term(jnp, fitness_name, lp, reward) * m).sum() / m.sum()

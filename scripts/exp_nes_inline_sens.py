@@ -99,7 +99,9 @@ def main():
                     theta, opt_state, ones, 0.01, seeds, idx, 0.001, 1e-7)
             else:
                 sens = ones
-                if not inline:
+                # inline=None resolves to True inside the engine (auto);
+                # only an explicit False takes the host-sens dispatch
+                if inline is False:
                     idx_s = subsample_batch_rows(idx[0, 0], SENS_BATCH)
                     sens = calc_sensitivity(task, theta, idx_s, kind, 0.01)
                 theta, opt_state, packs = eng.generation(

@@ -350,3 +350,32 @@ def test_coco_validate_device_matches_host(coco_fixture):
             theta, task.device_val_consts()
         ))
         np.testing.assert_allclose(dev, host, rtol=2e-5, atol=2e-6)
+
+
+@pytest.mark.slow
+def test_fused_es_criteria_fitness_matches_plain(coco_fixture, tmp_path):
+    """A per-token-criterion fitness kind (sc_loss: sampled decode +
+    greedy baseline + log criterion, all in-program since the criteria
+    joined the device path) must produce the same fused-vs-plain ES
+    trajectory as the greedy kinds."""
+    from nes_img_captioning_tpu.algorithms.es import ESMaster
+
+    results = {}
+    for fused in (False, True):
+        exp = _es_exp(dict(coco_fixture), str(tmp_path / f"run{fused}"),
+                      tpu={"seed": 5, "fused_es": fused})
+        exp["policy_options"]["fitness"] = "sc_loss"
+        master = ESMaster(exp)
+        assert master.task.fitness_on_device
+        master.run_master(max_iterations=3)
+        results[fused] = master.stats.to_dict()
+
+    for key in ("score_stats", "acc_stats", "norm_stats"):
+        np.testing.assert_allclose(
+            np.asarray(results[False][key], np.float64),
+            np.asarray(results[True][key], np.float64),
+            rtol=1e-4, atol=1e-5, err_msg=key,
+        )
+    # a criterion fitness is a masked per-token reduction, not mean*100:
+    # the series must be finite and non-degenerate
+    assert np.isfinite(np.asarray(results[True]["score_stats"])).all()

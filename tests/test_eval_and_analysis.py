@@ -214,3 +214,47 @@ def test_analysis_helpers(tmp_path):
 
     counts = tournament_counts(10, 3, 1000, trials=3)
     assert counts[0] > counts[5] > counts[9]  # selection pressure decreasing
+
+
+def test_profile_summary_tool(tmp_path, capsys):
+    """scripts/profile_summary.py: finds the newest trace under a run dir
+    and aggregates device-lane op durations (SURVEY §5.1 — the pstats
+    recipe's equivalent for tpu.profile traces)."""
+    import gzip
+    import importlib.util
+    import json
+    import os
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "profile_summary",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "profile_summary.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    d = tmp_path / "run" / "profile" / "plugins" / "profile" / "2026_01_01"
+    d.mkdir(parents=True)
+    events = [
+        {"ph": "M", "name": "process_name", "pid": 3,
+         "args": {"name": "/device:TPU:0"}},
+        {"ph": "M", "name": "process_name", "pid": 9,
+         "args": {"name": "/host:CPU"}},
+        {"ph": "X", "pid": 3, "name": "fusion.1", "dur": 1500},
+        {"ph": "X", "pid": 3, "name": "fusion.1", "dur": 500},
+        {"ph": "X", "pid": 3, "name": "while.6", "dur": 3000},
+        {"ph": "X", "pid": 9, "name": "host_thing", "dur": 99999},
+    ]
+    with gzip.open(d / "vm.trace.json.gz", "wt") as f:
+        json.dump({"traceEvents": events}, f)
+
+    trace = mod.find_trace(str(tmp_path / "run"))
+    lanes, rows, total = mod.summarize(trace)
+    assert abs(total - 5.0) < 1e-9  # host lane excluded
+    assert rows[0] == ("while.6", 3.0, 1)
+    assert ("fusion.1", 2.0, 2) in rows
+
+    mod.main([str(tmp_path / "run"), "-n", "5"])
+    out = capsys.readouterr().out
+    assert "while.6" in out and "host_thing" not in out

@@ -530,13 +530,13 @@ class ESMaster:
         self._sens_ones = self._sens_mat
         if self.mutation is MutationKind.SAFE_VECTOR:
             from .nes import _load_sensitivity_file
+            from ..ops.sensitivity import sm_vector_normalize
 
-            v = np.asarray(
+            v = sm_vector_normalize(
                 _load_sensitivity_file(mopts["safe_mutation_vector"]),
-                np.float32,
+                self._underflow,
             )
-            v = np.maximum(v, self._underflow)
-            self._sens_mat = self._place((v / v.min())[None, :])
+            self._sens_mat = self._place(v[None, :])
 
         self._init_population(exp)
 
@@ -619,9 +619,10 @@ class ESMaster:
             self.elites_to_evaluate = []
             cand_seeds = self._rng.integers(0, 2**32, size=max(n_cands, 1), dtype=np.uint32)
             cands = self.engine.materialize(None, None, 0.0, cand_seeds, None, fresh=True)
+            cands_host = pull_chunked(cands)
             for i in range(n_cands):
                 path = self._elite_path_tpl.format(i=i)
-                spec.save_pth(np.asarray(cands[i]), path)
+                spec.save_pth(cands_host[i], path)
                 self.elites_to_evaluate.append((i, path))
                 self._cand_thetas[path] = cands[i]
             self.policy_theta = cands[0]
@@ -680,12 +681,15 @@ class ESMaster:
     def _select_parent_indices(self, L: int, n_parents: int) -> np.ndarray:
         if self.experiment.selection() == "tournament":
             k = min(n_parents, self.experiment.tournament_size() or 1)
-            # parents sorted best-first: tournament winner = min sampled index
-            # (reference: nic_es_worker.py:150-162)
-            samples = np.stack(
-                [self._rng.choice(n_parents, size=k, replace=False) for _ in range(L)]
-            )
-            return samples.min(axis=1).astype(np.int32)
+            # parents sorted best-first: tournament winner = min sampled
+            # index (reference: nic_es_worker.py:150-162). One vectorized
+            # draw: the k smallest entries of a random row are a uniform
+            # k-subset without replacement — L separate rng.choice calls
+            # cost real wall time on this harness's single host core at
+            # lambda in the thousands x gens_per_dispatch.
+            r = self._rng.random((L, n_parents))
+            subset = np.argpartition(r, k - 1, axis=1)[:, :k]
+            return subset.min(axis=1).astype(np.int32)
         return self._rng.integers(0, n_parents, size=L).astype(np.int32)
 
     def _update_sensitivities(self, idx_row):
@@ -714,13 +718,20 @@ class ESMaster:
 
     def _profile_hook(self, iteration: int):
         """Trace generation 2 with jax.profiler when tpu.profile is set
-        (SURVEY.md §5.1)."""
+        (SURVEY.md §5.1). ``_profile_finalize`` closes the trace if the
+        run ends before generation 3 (jax only writes on stop_trace)."""
         if not self.tpu_cfg.profile:
             return
-        if iteration == 2:
+        if iteration == 2 and not getattr(self, "_trace_on", False):
             jax.profiler.start_trace(os.path.join(self.exp["log_dir"], "profile"))
-        elif iteration == 3:
+            self._trace_on = True
+        elif iteration > 2:
+            self._profile_finalize()
+
+    def _profile_finalize(self):
+        if getattr(self, "_trace_on", False):
             jax.profiler.stop_trace()
+            self._trace_on = False
             logger.info("wrote jax profiler trace for generation 2")
 
     # ---- main loop ------------------------------------------------------------------
@@ -851,9 +862,10 @@ class ESMaster:
         )
         new_cands, cand_files = [], []
         new_cand_thetas = {}
+        cand_host = pull_chunked(cand_thetas)  # one bulk pull, not C row pulls
         for i in range(len(cand_ids)):
             path = self._elite_path_tpl.format(i=i)
-            spec.save_pth(np.asarray(cand_thetas[i]), path)
+            spec.save_pth(cand_host[i], path)
             new_cands.append((i, path))
             cand_files.append(path)
             new_cand_thetas[path] = cand_thetas[i]
@@ -1253,12 +1265,17 @@ class ESMaster:
 
                 if config.snapshot_freq and it.iteration() % config.snapshot_freq == 0:
                     self._snapshot(plot)
+                    self._last_snapshot_iter = it.iteration()
                 if limit and it.iteration() >= limit:
                     break
                 if it.patience_reached() or it.schedule_reached():
                     break
 
-        self._snapshot(plot)
+        self._profile_finalize()  # in case the run ended at generation 2
+        # skip the final snapshot when the loop just wrote this iteration
+        # (identical z_info; parent-file materialization is tunnel-costly)
+        if getattr(self, "_last_snapshot_iter", None) != it.iteration():
+            self._snapshot(plot)
         return self.policy_theta
 
     # ---- checkpointing -----------------------------------------------------------
@@ -1273,14 +1290,19 @@ class ESMaster:
         spec = self.task.spec
         keep_files = []
         fused = self.parents_mat is None
+        # one bulk chunked pull for whichever representation holds the
+        # rows: per-row np.asarray costs ~1.75 s per 11.6 MB row over the
+        # tunnel (CLAUDE.md), ~P x that per snapshot
         sel = pull_chunked(self._selected_dev) if fused else None
+        plain = (pull_chunked(self.parents_mat)
+                 if not fused and any(p is None for p in self._parent_paths)
+                 else None)
         n_elite_rows = sum(1 for p in self._parent_paths if p is not None)
         for i in range(self._n_parents):
             path = self._parent_paths[i]
             if path is None:
                 path = self._parent_path_tpl.format(i=i)
-                row = (sel[i - n_elite_rows] if fused
-                       else np.asarray(self.parents_mat[i]))
+                row = sel[i - n_elite_rows] if fused else plain[i]
                 spec.save_pth(row, path)
             parents.append((i, path))
             if path.startswith(self.experiment.offspring_dir()):

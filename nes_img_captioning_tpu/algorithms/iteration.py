@@ -71,6 +71,15 @@ class Iteration:
         self._fired_patience = False
         self._fired_schedule = False
 
+        if int(exp["num_elites"]) < 1:
+            # both masters read best_elites()[0] for the per-generation
+            # BestEliteAcc stat (as the reference does unconditionally —
+            # src/algorithm/tools/iteration.py:52-62); a 0-capacity podium
+            # would fail there on generation 1, so reject it up front
+            raise ValueError(
+                f"num_elites={exp['num_elites']}: the podium needs at least "
+                "one slot (reference semantics; use num_elites >= 1)"
+            )
         self._log_dir = exp["log_dir"]
         self._models_dir = mkdir_p(os.path.join(self._log_dir, "models"))
         self._podium = Podium(

@@ -744,9 +744,11 @@ class NESMaster:
     def set_sensitivity_vector(self, vector, underflow: float):
         """SM-VECTOR: precomputed sensitivity, clamped then min-normalized
         (reference: src/algorithm/safe_mutations.py:28-32)."""
-        v = jnp.asarray(np.asarray(vector), jnp.float32)
-        v = jnp.maximum(v, underflow)
-        self._sens = self._place(v / v.min())
+        from ..ops.sensitivity import sm_vector_normalize
+
+        self._sens = self._place(
+            jnp.asarray(sm_vector_normalize(vector, underflow))
+        )
 
     # ---- tpu.fused_validation (in-program validation + device podium) -----------
 
@@ -863,15 +865,23 @@ class NESMaster:
 
     def _profile_hook(self, iteration: int):
         """Trace generation 2 with jax.profiler when tpu.profile is set
-        (the reference's cProfile launch scripts' role — SURVEY.md §5.1)."""
+        (the reference's cProfile launch scripts' role — SURVEY.md §5.1).
+        ``_profile_finalize`` closes the trace if the run ends before
+        generation 3 is reached (jax only writes on stop_trace)."""
         if not self.tpu_cfg.profile:
             return
-        if iteration == 2:
+        if iteration == 2 and not getattr(self, "_trace_on", False):
             jax.profiler.start_trace(
                 os.path.join(self.exp["log_dir"], "profile")
             )
-        elif iteration == 3:
+            self._trace_on = True
+        elif iteration > 2:
+            self._profile_finalize()
+
+    def _profile_finalize(self):
+        if getattr(self, "_trace_on", False):
             jax.profiler.stop_trace()
+            self._trace_on = False
             logger.info("wrote jax profiler trace for generation 2")
 
     # ---- main loop ---------------------------------------------------------------------
@@ -1002,6 +1012,7 @@ class NESMaster:
             self._materialize_podium()  # z_info references podium slots
             self._write_current_model()  # z_info references this file
             save_snapshot(stats, it, self.experiment)
+            self._last_snapshot_iter = it.iteration()
             if plot:
                 stats.plot_stats(self.experiment.snapshot_dir())
 
@@ -1126,9 +1137,14 @@ class NESMaster:
                     self._sampler = None  # rebuilt at the new batch size
                     break  # rebuild the epoch at the new batch size
 
-        self._materialize_podium()  # settle deferred podium slot files
-        self._write_current_model()
-        save_snapshot(stats, it, self.experiment)
-        if plot:
-            stats.plot_stats(self.experiment.snapshot_dir())
+        self._profile_finalize()  # in case the run ended at generation 2
+        # skip the final snapshot when the loop's freq snapshot just wrote
+        # this exact iteration (identical z_info, repeated podium/model
+        # materialization)
+        if getattr(self, "_last_snapshot_iter", None) != it.iteration():
+            self._materialize_podium()  # settle deferred podium slot files
+            self._write_current_model()
+            save_snapshot(stats, it, self.experiment)
+            if plot:
+                stats.plot_stats(self.experiment.snapshot_dir())
         return self.theta

@@ -28,7 +28,18 @@ from .mutation import MutationKind
 __all__ = ["calc_sensitivity", "calc_sensitivities", "sm_g_sum", "sm_g_abs",
            "sum_sens_many_traced", "abs_sens_many_traced",
            "sum_sens_traced", "abs_sens_traced", "postprocess",
-           "subsample_batch_rows"]
+           "subsample_batch_rows", "sm_vector_normalize"]
+
+
+def sm_vector_normalize(vector, underflow: float):
+    """SM-VECTOR load-path normalization, shared by both masters: clamp
+    below at ``underflow`` then divide by the min (reference:
+    safe_mutations.py:28-32 — note the vector path min-normalizes where
+    the SM-G path divides by the underflow)."""
+    import numpy as np
+
+    v = np.maximum(np.asarray(vector, np.float32), underflow)
+    return v / v.min()
 
 
 def subsample_batch_rows(idx_row, k: int):

@@ -220,3 +220,18 @@ class TestIterationAnnealing:
             it.process_evaluated_elites()  # empty evals -> bad generation
         assert it.patience_reached()
         assert it.noise_stdev() == 0.05
+
+
+def test_zero_elite_config_rejected(tmp_path):
+    """num_elites=0 would give the podium zero slots and crash both
+    masters' BestEliteAcc stat on generation 1 (the reference reads
+    best_elites()[0] unconditionally too) — rejected at construction."""
+    import pytest
+
+    from nes_img_captioning_tpu.algorithms.iteration import Iteration
+    from nes_img_captioning_tpu.utils.config import Config
+
+    exp = {"num_elites": 0, "nb_offspring": 4,
+           "log_dir": str(tmp_path / "run")}
+    with pytest.raises(ValueError, match="num_elites"):
+        Iteration(Config(batch_size=4), exp)

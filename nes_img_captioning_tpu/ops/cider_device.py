@@ -170,6 +170,14 @@ class DeviceCider:
                 bucket = h & (n_buckets - 1)
                 if np.bincount(bucket, minlength=n_buckets).max() <= S:
                     break
+                # > S keys sharing one exact 32-bit hash can never be
+                # separated by more buckets — fail loudly instead of
+                # doubling forever (astronomically unlikely on real data)
+                if n_buckets > (1 << 28):
+                    raise RuntimeError(
+                        f"idf bucket table cannot settle: >{S} keys share "
+                        "one 32-bit hash; raise DeviceCider.BUCKET"
+                    )
                 n_buckets *= 2
             table = np.zeros((n_buckets, S, 3), np.int32)  # lo=0 ⇒ empty
             fill = np.zeros(n_buckets, np.int64)
@@ -226,17 +234,25 @@ class DeviceCider:
             hi.astype(np.int64) & 0xFFFFFFFF
         )
         uniq, inv = np.unique(key, return_inverse=True)
-        uvals = np.asarray(
-            [
-                idf_by_key.get(
-                    (int(np.int32(k >> 32)), int(np.int32(k & 0xFFFFFFFF))),
-                    self.ref_len,
-                )
-                for k in uniq
-            ],
-            np.float32,
-        )
-        idf = uvals[inv].reshape(flat.shape[0], W)
+        # vectorized idf resolve: the per-key Python dict loop cost
+        # seconds-to-tens-of-seconds at real MSCOCO scale (millions of
+        # unique keys) on this environment's single host core
+        if idf_by_key:
+            dk = np.fromiter(
+                ((np.int64(l) << 32) | (np.int64(h) & 0xFFFFFFFF)
+                 for (l, h) in idf_by_key.keys()),
+                np.int64, count=len(idf_by_key),
+            )
+            dv = np.fromiter(idf_by_key.values(), np.float64,
+                             count=len(idf_by_key)).astype(np.float32)
+            srt = np.argsort(dk)
+            dk, dv = dk[srt], dv[srt]
+            pos = np.clip(np.searchsorted(dk, uniq), 0, len(dk) - 1)
+            uvals = np.where(dk[pos] == uniq, dv[pos],
+                             np.float32(self.ref_len))
+        else:
+            uvals = np.full(len(uniq), self.ref_len, np.float32)
+        idf = uvals.astype(np.float32)[inv].reshape(flat.shape[0], W)
 
         norm2 = np.zeros((flat.shape[0], self.n), np.float32)
         CH = 8192
@@ -308,8 +324,6 @@ class DeviceCider:
         import jax.numpy as jnp
 
         T = seqs.shape[-1]
-        _, orders_np = _window_meta(T, self.n)
-        orders = jnp.asarray(orders_np)
         shifted = seqs.astype(jnp.int32) + 1  # (R, T), values >= 1
 
         is0 = seqs == 0
@@ -333,7 +347,7 @@ class DeviceCider:
         valid = jnp.concatenate(valid_parts, axis=-1)
         lo = jnp.where(valid, lo, -1)
         hi = jnp.where(valid, hi, -1)
-        return lo, hi, valid, lens, orders
+        return lo, hi, valid, lens
 
     def score_rows(self, seqs, img_ids, dev: dict | None = None):
         """jax-traceable. seqs (R, T) int tokens, img_ids (R,) int indices
@@ -346,7 +360,7 @@ class DeviceCider:
 
         if dev is None:
             dev = self.dev
-        lo, hi, valid, lens, orders = self._pack_rows(seqs)
+        lo, hi, valid, lens = self._pack_rows(seqs)
         idf = jnp.where(valid, self._idf_lookup(lo, hi, dev["table"]), 0.0)
         idf2 = idf * idf
 

@@ -266,6 +266,13 @@ def decode_fused(params: dict, feats, seq_length: int = 16,
         assert greedy, "vocab_tile is a greedy-decode variant"
         assert vocab_tile % PAD_LANE == 0 and Vpad % vocab_tile == 0, \
             f"vocab_tile={vocab_tile} must be a lane multiple dividing {Vpad}"
+    if host_rng and not greedy:
+        # without a real table the (1,1,Vpad) placeholder would clamp to
+        # row 0 every step and zeros degrade "sampling" to silent argmax
+        assert gumbel is not None and gumbel.shape[0] >= seq_length, (
+            "host_rng=True needs a (seq_length, B, Vpad) gumbel table "
+            f"(got {None if gumbel is None else gumbel.shape})"
+        )
     if gumbel is None:
         gumbel = jnp.zeros((1, 1, Vpad), jnp.float32)  # placeholder operand
 

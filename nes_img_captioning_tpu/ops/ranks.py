@@ -21,8 +21,13 @@ def compute_ranks(x: jax.Array) -> jax.Array:
     """Ranks in [0, len(x)) — rank of each element in ascending order.
 
     Matches reference compute_ranks (nic_nes_master.py:196-205):
-    ``ranks[x.argsort()] = arange(len(x))``. Ties broken by position, the same
-    way argsort (stable) breaks them.
+    ``ranks[x.argsort()] = arange(len(x))``. Documented deviation on TIES
+    (see README "Deliberate behavioral deviations"): jnp.argsort is stable,
+    so tied fitnesses rank in position order; the reference's np.argsort
+    defaults to introsort, whose tie order is an unspecified implementation
+    detail there (it varies with array size/layout). With antithetic
+    pairing, tied members get adjacent integer ranks either way — only
+    WHICH tied member gets which adjacent rank differs.
     """
     assert x.ndim == 1
     order = jnp.argsort(x)

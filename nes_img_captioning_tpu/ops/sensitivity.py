@@ -92,7 +92,13 @@ def sum_sens_traced(forward, theta, idx, consts,
     separate calc_sensitivity dispatch the host path pays and unblocking
     K-generation blocks for SM-G NES (the sensitivity must be recomputed
     from each generation's carried theta inside the scan step)."""
-    batch = forward(theta, idx, consts).shape[0]
+    # eval_shape, not a traced forward: this body is inlined into the
+    # fused generation/block programs, where a dead full forward per
+    # inlining inflates the jaxpr XLA must chew through (~200 s cold
+    # compiles per block shape on this harness)
+    batch = jax.eval_shape(
+        lambda th: forward(th, idx, consts), theta
+    ).shape[0]
     with jax.default_matmul_precision(matmul_precision):
         J = jax.jacrev(lambda th: forward(th, idx, consts).sum(0))(theta)
     return jnp.sqrt((J.astype(jnp.float32) ** 2).sum(0)) / batch

@@ -149,6 +149,7 @@ def test_fused_es_matches_plain_trajectory(coco_fixture, tmp_path,
             assert os.path.isfile(path), path
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("safe_mutations", ["", "SM-G-SUM"])
 def test_fused_es_on_virtual_mesh(coco_fixture, tmp_path, safe_mutations):
     """Fused generations with the population sharded over the 8 virtual

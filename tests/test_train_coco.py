@@ -84,8 +84,12 @@ def test_coco_nes_greedy_end_to_end(coco_fixture, tmp_path):
     assert len(master.stats.acc_stats()) == 3
 
 
-@pytest.mark.parametrize("fitness", ["sample", "self_critical", "greedy_linprob",
-                                     "sc_loss"])
+@pytest.mark.parametrize("fitness", [
+    "sample",
+    pytest.param("self_critical", marks=pytest.mark.slow),
+    "greedy_linprob",
+    pytest.param("sc_loss", marks=pytest.mark.slow),
+])
 def test_coco_fitness_variants(coco_fixture, tmp_path, fitness):
     from nes_img_captioning_tpu.algorithms.nes import NESMaster
 
@@ -183,6 +187,7 @@ def test_coco_sensitivity_smoke(coco_fixture, tmp_path):
     assert sens.min() >= 1.0 and np.isfinite(sens).all()
 
 
+@pytest.mark.slow
 def test_sensitivity_lever_knobs(coco_fixture):
     """tpu.sensitivity_batch / sensitivity_split (SM-G cost levers,
     docs/RESULTS.md): the subsampled-batch Jacobian equals the full
@@ -260,6 +265,7 @@ def test_coco_val_fused_matches_host(coco_fixture, tmp_path):
         rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_coco_es_from_single_list(coco_fixture, tmp_path):
     """ES warm start from a LIST of .pth files (reference init_from_singles,
     nic_es/iteration.py:63-81): each file becomes a parent and the first
@@ -291,6 +297,7 @@ def test_coco_es_from_single_list(coco_fixture, tmp_path):
     assert len(master.stats.score_stats()[1]) == 2
 
 
+@pytest.mark.slow
 def test_population_smaller_than_mesh(coco_fixture, tmp_path):
     """nb_offspring < mesh size must not hang (engine chunk sizing caps at
     the population; shards pad)."""

@@ -85,6 +85,7 @@ def test_nes_single_batch_mode(tmp_path):
     assert len(master.stats.score_stats()[1]) == 2
 
 
+@pytest.mark.slow
 def test_nes_safe_mutations_smoke(tmp_path):
     from nes_img_captioning_tpu.algorithms.nes import NESMaster
     from nes_img_captioning_tpu.ops.mutation import MutationKind
@@ -109,6 +110,7 @@ def test_nes_safe_mutations_smoke(tmp_path):
     assert sens.max() > 1.0
 
 
+@pytest.mark.slow
 def test_nes_inline_sens_matches_host_sens(tmp_path):
     """The in-program SM-G sensitivity (inline_sens) must reproduce the
     host-computed path exactly: one fused generation with the sensitivity

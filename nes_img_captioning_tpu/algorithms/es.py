@@ -67,7 +67,8 @@ class ESEngine(PopulationEngine):
     def __init__(self, task, mutation: MutationKind, mesh=None,
                  pop_chunk: int = 0, rng_impl: str = "",
                  sens_underflow: float = 0.01,
-                 sens_precision: str = "float32"):
+                 sens_precision: str = "float32",
+                 sens_probes: int = 0):
         super().__init__(task, mesh=mesh, pop_chunk=pop_chunk,
                          rng_impl=rng_impl)
         self.mutation = mutation
@@ -75,6 +76,13 @@ class ESEngine(PopulationEngine):
         # the unfused path gets them per-call via calc_sensitivities)
         self._sens_underflow = float(sens_underflow)
         self._sens_precision = sens_precision
+        self._sens_probes = int(sens_probes)
+        if self._sens_probes and mutation is MutationKind.SAFE_GRAD_ABS:
+            logger.warning(
+                "tpu.sensitivity_probes applies to SM-G-SUM only (the ABS "
+                "path's per-sample |J| average has no column-norm identity); "
+                "SM-G-ABS runs exact")
+            self._sens_probes = 0
 
         # multi-controller: replicated outputs so the host can fetch
         # fitnesses / materialized thetas (single-controller: None = default)
@@ -210,13 +218,27 @@ class ESEngine(PopulationEngine):
             from ..ops.sensitivity import (
                 abs_sens_many_traced,
                 postprocess,
+                probe_key_from_seed,
                 sum_sens_many_traced,
+                sum_sens_probes_many_traced,
             )
 
             fwd = self.task.sensitivity_forward
             if self.mutation is MutationKind.SAFE_GRAD_SUM:
-                raw = sum_sens_many_traced(fwd, parents, sens_idx, consts,
-                                           self._sens_precision)
+                if self._sens_probes:
+                    # probe key from the generation's offspring-seed 0 —
+                    # identical derivation to the unfused host path
+                    # (_update_sensitivities), so fused-vs-plain
+                    # trajectories stay equal with probes on
+                    raw = sum_sens_probes_many_traced(
+                        fwd, parents, sens_idx, consts,
+                        probe_key_from_seed(self._mk_key,
+                                            seeds.reshape(-1)[0]),
+                        self._sens_probes, self._sens_precision,
+                    )
+                else:
+                    raw = sum_sens_many_traced(fwd, parents, sens_idx,
+                                               consts, self._sens_precision)
             else:
                 raw = abs_sens_many_traced(fwd, parents, sens_idx, consts)
             sens_mat = postprocess(raw, self._sens_underflow)
@@ -483,6 +505,7 @@ class ESMaster:
             rng_impl=self.tpu_cfg.rng_impl,
             sens_underflow=self._underflow,
             sens_precision=self.tpu_cfg.sensitivity_precision,
+            sens_probes=self.tpu_cfg.sensitivity_probes,
         )
         self._init_multihost_placement()
 
@@ -692,7 +715,7 @@ class ESMaster:
             return subset.min(axis=1).astype(np.int32)
         return self._rng.integers(0, n_parents, size=L).astype(np.int32)
 
-    def _update_sensitivities(self, idx_row):
+    def _update_sensitivities(self, idx_row, seed0=None):
         """Per-parent sensitivity matrix for SM-G-* (the reference caches
         sens per (task, parent) across workers — here one fused sweep per
         generation, SURVEY.md §7.3). The whole padded parent matrix goes
@@ -703,17 +726,24 @@ class ESMaster:
         at most num_elites/P of the sweep."""
         if self.mutation not in (MutationKind.SAFE_GRAD_SUM, MutationKind.SAFE_GRAD_ABS):
             return
-        from ..ops.sensitivity import calc_sensitivities
+        from ..ops.sensitivity import calc_sensitivities, probe_key_from_seed
 
         # tpu.sensitivity_batch: Jacobian over a subsampled batch (the
         # reference's own forward_for_sensitivity already truncates decode
         # steps for cheapness — principled approximation is in-genre).
         # idx as a host array: auto-replicated by the jit in both single-
-        # and multi-controller execution
+        # and multi-controller execution. Probe key (tpu.sensitivity_probes)
+        # from the generation's offspring-seed 0 — the fused path's exact
+        # derivation (engine._gen_core).
+        probes = self.engine._sens_probes
         self._sens_mat = calc_sensitivities(
             self.task, self.parents_mat, self._sens_batch_rows(idx_row),
             self.mutation, self._underflow,
             matmul_precision=self.tpu_cfg.sensitivity_precision,
+            probes=probes,
+            probe_key=(probe_key_from_seed(self.engine._mk_key,
+                                           np.uint32(seed0))
+                       if probes else None),
         )
 
     def _profile_hook(self, iteration: int):
@@ -839,7 +869,7 @@ class ESMaster:
         if fresh:
             pidx = np.zeros(L, np.int32)
         else:
-            self._update_sensitivities(idx_row)
+            self._update_sensitivities(idx_row, seed0=seeds[0])
             pidx = self._select_parent_indices(L, self._n_parents)
         artifacts = self.engine.eval_generation(
             self.parents_mat, self._sens_mat, sigma, seeds, pidx,

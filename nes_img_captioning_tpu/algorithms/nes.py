@@ -59,6 +59,7 @@ class NESEngine(PopulationEngine):
                  sens_underflow: float = 0.01,
                  sens_precision: str = "float32",
                  sens_batch: int = 0,
+                 sens_probes: int = 0,
                  inline_sens: bool | None = None):
         super().__init__(task, mesh=mesh, pop_chunk=pop_chunk,
                          rng_impl=rng_impl)
@@ -75,6 +76,13 @@ class NESEngine(PopulationEngine):
         self._sens_underflow = float(sens_underflow)
         self._sens_precision = sens_precision
         self._sens_batch = int(sens_batch)
+        self._sens_probes = int(sens_probes)
+        if self._sens_probes and mutation is MutationKind.SAFE_GRAD_ABS:
+            logger.warning(
+                "tpu.sensitivity_probes applies to SM-G-SUM only (the ABS "
+                "path's per-sample |J| average has no column-norm identity); "
+                "SM-G-ABS runs exact")
+            self._sens_probes = 0
         if inline_sens is None:
             inline_sens = (
                 mutation in (MutationKind.SAFE_GRAD_SUM,
@@ -206,20 +214,32 @@ class NESEngine(PopulationEngine):
         device return either the scalar itself or {'fitness': scalar})."""
         return art["fitness"] if isinstance(art, dict) else art
 
-    def _traced_sens(self, theta, sens_idx, consts):
+    def _traced_sens(self, theta, sens_idx, consts, seed0=None):
         """In-program SM-G sensitivity of the current theta over the
         generation's (subsampled) batch rows — postprocessed exactly like
-        the host path (clamp at underflow, divide by it)."""
+        the host path (clamp at underflow, divide by it). ``seed0`` is the
+        generation's member-0 seed, consumed only when
+        tpu.sensitivity_probes is set (probe-key derivation identical to
+        the host path's — ops/sensitivity.probe_key_from_seed)."""
         from ..ops.sensitivity import (
             abs_sens_traced,
             postprocess,
+            probe_key_from_seed,
+            sum_sens_probes_traced,
             sum_sens_traced,
         )
 
         fwd = self.task.sensitivity_forward
         if self.mutation is MutationKind.SAFE_GRAD_SUM:
-            raw = sum_sens_traced(fwd, theta, sens_idx, consts,
-                                  self._sens_precision)
+            if self._sens_probes:
+                raw = sum_sens_probes_traced(
+                    fwd, theta, sens_idx, consts,
+                    probe_key_from_seed(self._mk_key, seed0),
+                    self._sens_probes, self._sens_precision,
+                )
+            else:
+                raw = sum_sens_traced(fwd, theta, sens_idx, consts,
+                                      self._sens_precision)
         else:
             raw = abs_sens_traced(fwd, theta, sens_idx, consts)
         return postprocess(raw, self._sens_underflow)
@@ -243,7 +263,8 @@ class NESEngine(PopulationEngine):
         through the linear from_dec — exactly equivalent math per member
         (tests/test_decode_layout.py)."""
         if self.inline_sens:
-            sens = self._traced_sens(theta, sens_idx, consts)
+            sens = self._traced_sens(theta, sens_idx, consts,
+                                     seed0=seeds.reshape(-1)[0])
         lay = self._layout
         if lay is None:
             base_vec = theta
@@ -592,6 +613,7 @@ class NESMaster:
             sens_underflow=mopts.get("safe_mutation_underflow", 0.01),
             sens_precision=self.tpu_cfg.sensitivity_precision,
             sens_batch=self.tpu_cfg.sensitivity_batch,
+            sens_probes=self.tpu_cfg.sensitivity_probes,
         )
         self._init_multihost_placement()
 
@@ -717,25 +739,37 @@ class NESMaster:
             return np.tile(row, (F, 1))
         return self._sampler.member_batches(F, bs)
 
-    def _maybe_sensitivity(self, idx_row: np.ndarray):
+    def _maybe_sensitivity(self, idx_row: np.ndarray, seed0=None):
         if self.engine.inline_sens:
             # SM-G on the fused path: the generation program recomputes the
             # sensitivity in-program from its own theta + batch rows — the
             # `sens` operand is a dummy there (self._sens stays all-ones)
             return self._sens
         if self.mutation in (MutationKind.SAFE_GRAD_SUM, MutationKind.SAFE_GRAD_ABS):
-            from ..ops.sensitivity import calc_sensitivity, subsample_batch_rows
+            from ..ops.sensitivity import (
+                calc_sensitivity,
+                probe_key_from_seed,
+                subsample_batch_rows,
+            )
 
             mopts = self.exp["policy_options"].get("model_options", {})
             underflow = mopts.get("safe_mutation_underflow", 0.01)
             idx_s = subsample_batch_rows(
                 idx_row, getattr(self.tpu_cfg, "sensitivity_batch", 0)
             )
+            # probe key from the generation's member-0 seed — the same
+            # derivation the inline path uses, so both paths stay
+            # operand-exact (engine ctor zeroes probes for SM-G-ABS)
+            probes = self.engine._sens_probes
             self._sens = calc_sensitivity(
                 self.task, self.theta, idx_s, self.mutation, underflow,
                 matmul_precision=getattr(
                     self.tpu_cfg, "sensitivity_precision", "float32"
                 ),
+                probes=probes,
+                probe_key=(probe_key_from_seed(self.engine._mk_key,
+                                               np.uint32(seed0))
+                           if probes else None),
             )
         elif self.mutation is MutationKind.SAFE_VECTOR:
             pass  # set once at startup via set_sensitivity_vector
@@ -1054,7 +1088,7 @@ class NESMaster:
                     if idx is None:
                         idx = np.empty((b, *row.shape), row.dtype)
                     idx[k] = row
-                sens = self._maybe_sensitivity(idx[0, 0])
+                sens = self._maybe_sensitivity(idx[0, 0], seed0=seeds[0, 0])
 
                 if fused and self._val_fused:
                     # validation + podium merge run inside the block program

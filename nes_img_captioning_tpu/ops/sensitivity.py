@@ -28,7 +28,23 @@ from .mutation import MutationKind
 __all__ = ["calc_sensitivity", "calc_sensitivities", "sm_g_sum", "sm_g_abs",
            "sum_sens_many_traced", "abs_sens_many_traced",
            "sum_sens_traced", "abs_sens_traced", "postprocess",
-           "subsample_batch_rows", "sm_vector_normalize"]
+           "subsample_batch_rows", "sm_vector_normalize",
+           "sum_sens_probes_traced", "sum_sens_probes_many_traced",
+           "probe_key_from_seed", "PROBE_FOLD"]
+
+# fold_in tag for the probe stream, derived from the generation's member-0
+# seed. Unused by every other per-seed stream: the raw key draws the
+# mutation noise, NES rollouts fold 1/2, ES rollouts fold 3.
+PROBE_FOLD = 4
+
+
+def probe_key_from_seed(mk_key, seed):
+    """One probe key per generation (tpu.sensitivity_probes): member-0's
+    offspring seed folded with PROBE_FOLD. Both the host path
+    (calc_sensitivity/calc_sensitivities) and the in-program paths (NES
+    inline_sens, fused ES) derive the key this way, so the estimator is
+    operand-exact across them and deterministic per tpu.seed."""
+    return jax.random.fold_in(mk_key(seed), PROBE_FOLD)
 
 
 def sm_vector_normalize(vector, underflow: float):
@@ -104,6 +120,47 @@ def sum_sens_traced(forward, theta, idx, consts,
     return jnp.sqrt((J.astype(jnp.float32) ** 2).sum(0)) / batch
 
 
+def sum_sens_probes_traced(forward, theta, idx, consts, key, probes: int,
+                           matmul_precision: str = "float32"):
+    """Randomized (Hutchinson/Girard) SM-G-SUM: estimate the Jacobian column
+    norms sqrt(sum_k J_ki^2)/B from ``probes`` Rademacher probes through ONE
+    VJP pullback instead of jacrev's K one-hot rows (K = 97 at the
+    reference's split 100). For v ~ uniform{-1,+1}^K,
+    E[(J^T v)_i^2] = sum_k J_ki^2 exactly, so the estimator is UNBIASED for
+    the squared sensitivity of the reference's own computation (unlike the
+    sensitivity_split lever, which computes a coarser grouping — see
+    docs/RESULTS.md fidelity table); the sqrt adds a small Jensen bias,
+    O(1/R) relative. Per-coordinate relative std of the norm estimate is
+    <= 1/sqrt(2R) (~14% at R=25). The forward runs once; probes share its
+    residuals, so cost scales with R where jacrev's scales with K."""
+    batch = jax.eval_shape(
+        lambda th: forward(th, idx, consts), theta
+    ).shape[0]
+    with jax.default_matmul_precision(matmul_precision):
+        out, pullback = jax.vjp(
+            lambda th: forward(th, idx, consts).sum(0), theta
+        )
+        v = jax.random.rademacher(
+            key, (int(probes), out.shape[0]), out.dtype
+        )
+        y = jax.vmap(lambda vr: pullback(vr)[0])(v)  # (R, dim)
+    return jnp.sqrt((y.astype(jnp.float32) ** 2).mean(0)) / batch
+
+
+def sum_sens_probes_many_traced(forward, thetas, idx, consts, key,
+                                probes: int,
+                                matmul_precision: str = "float32"):
+    """Probe estimator over a (P, dim) parent matrix (see
+    sum_sens_many_traced for the lax.map rationale). All parents share one
+    probe matrix — each row's estimate stays unbiased; sharing keeps the
+    per-generation random-bit lineage a single fold of member-0's seed."""
+    return jax.lax.map(
+        lambda th: sum_sens_probes_traced(forward, th, idx, consts, key,
+                                          probes, matmul_precision),
+        thetas,
+    )
+
+
 def abs_sens_traced(forward, theta, idx, consts):
     """Single-theta SM-G-ABS in traced form (see sum_sens_traced)."""
     return _abs_sens_scan(forward, theta, idx, consts)
@@ -117,6 +174,9 @@ def abs_sens_many_traced(forward, thetas, idx, consts):
 
 _sum_sens_many = jax.jit(sum_sens_many_traced, static_argnums=(0, 4))
 _abs_sens_many = jax.jit(abs_sens_many_traced, static_argnums=(0,))
+_sum_sens_probes = jax.jit(sum_sens_probes_traced, static_argnums=(0, 5, 6))
+_sum_sens_probes_many = jax.jit(sum_sens_probes_many_traced,
+                                static_argnums=(0, 5, 6))
 # single-theta jitted entry points (calc_sensitivity / sm_g_*): the SAME
 # traced bodies the engines inline, so the host fallback path and the
 # in-program path share one definition — including the forced-f32 Jacobian
@@ -144,14 +204,25 @@ def _abs_sens_scan(forward, theta, idx, consts):
 
 
 def calc_sensitivities(task, thetas, idx, kind: MutationKind, underflow: float,
-                       matmul_precision: str = "float32"):
+                       matmul_precision: str = "float32",
+                       probes: int = 0, probe_key=None):
     """Per-parent sensitivity rows (P, dim) for a stacked parent matrix —
     the NIC-ES per-(task, parent) cache of the reference
     (safe_mutations.py:34-84) collapsed into one jitted sweep per
-    generation. ``matmul_precision`` per tpu.sensitivity_precision."""
+    generation. ``matmul_precision`` per tpu.sensitivity_precision;
+    ``probes`` > 0 (SM-G-SUM only, tpu.sensitivity_probes) switches to the
+    randomized column-norm estimator with the given key."""
     forward = task.sensitivity_forward
     consts = task.device_consts()
     if kind is MutationKind.SAFE_GRAD_SUM:
+        if probes:
+            if probe_key is None:
+                raise ValueError("probes > 0 requires probe_key")
+            return postprocess(
+                _sum_sens_probes_many(forward, thetas, idx, consts,
+                                      probe_key, probes, matmul_precision),
+                underflow,
+            )
         return postprocess(
             _sum_sens_many(forward, thetas, idx, consts, matmul_precision),
             underflow,
@@ -175,14 +246,24 @@ def sm_g_abs(forward, theta, idx, underflow: float, consts=None) -> jax.Array:
 
 
 def calc_sensitivity(task, theta, idx, kind: MutationKind, underflow: float,
-                     matmul_precision: str = "float32"):
+                     matmul_precision: str = "float32",
+                     probes: int = 0, probe_key=None):
     """Dispatch on mutation kind; ``task.sensitivity_forward(theta, idx,
     consts)`` must return the (B, K) grouped output. ``matmul_precision``
     per tpu.sensitivity_precision (SM-G-SUM only — the ABS path's cost is
-    the per-sample scan, not the dots)."""
+    the per-sample scan, not the dots); ``probes``/``probe_key`` per
+    calc_sensitivities."""
     forward = task.sensitivity_forward
     consts = task.device_consts()
     if kind is MutationKind.SAFE_GRAD_SUM:
+        if probes:
+            if probe_key is None:
+                raise ValueError("probes > 0 requires probe_key")
+            return postprocess(
+                _sum_sens_probes(forward, theta, idx, consts, probe_key,
+                                 probes, matmul_precision),
+                underflow,
+            )
         return sm_g_sum(forward, theta, idx, underflow, consts,
                         matmul_precision)
     if kind is MutationKind.SAFE_GRAD_ABS:

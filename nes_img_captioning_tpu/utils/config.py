@@ -74,6 +74,16 @@ class TpuConfig:
     # speed-only one; see docs/RESULTS.md fidelity table.
     sensitivity_batch: int = 0
     sensitivity_split: int = 100
+    # randomized SM-G-SUM estimator (0 = exact jacrev, reference parity):
+    # R Rademacher probes through one VJP pullback estimate the Jacobian
+    # column norms UNBIASEDLY (per-coordinate relative std <= 1/sqrt(2R)),
+    # so unlike sensitivity_split this is a speed knob that targets the
+    # reference's own split-100 quantity — cost scales with R instead of
+    # the 97 grouped-VJP rows. Probe stream: member-0 seed of each
+    # generation, fold PROBE_FOLD (deterministic per tpu.seed; identical
+    # on the host and in-program paths). SM-G-SUM only; ignored (with a
+    # warning) for SM-G-ABS.
+    sensitivity_probes: int = 0
     # streaming-softmax greedy decode: tile the vocab axis of the fused
     # kernel's logit/embed passes (a lane multiple dividing the padded
     # vocab; 0 = untiled). Token-exact vs untiled (tested); see
@@ -144,6 +154,11 @@ def parse_tpu_config(exp: dict) -> TpuConfig:
                 f"tpu.sensitivity_precision={cfg['sensitivity_precision']!r}: "
                 f"expected one of {sorted(aliases)}"
             ) from None
+    if cfg.get("sensitivity_probes") is not None \
+            and int(cfg["sensitivity_probes"]) < 0:
+        raise ValueError(
+            f"tpu.sensitivity_probes={cfg['sensitivity_probes']!r}: "
+            "expected 0 (exact) or a positive probe count")
     for knob in ("fused_es", "fused_validation"):
         # the gates test `want is not False`, so near-miss spellings like
         # 0 or "false" would silently leave the fused paths ON — reject them

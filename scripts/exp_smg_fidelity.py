@@ -67,24 +67,33 @@ def main():
     ])
     idx = rng.integers(0, tasks[100].train_n, size=BATCH, dtype=np.int32)
 
-    def sens_of(split, b, prec):
+    from nes_img_captioning_tpu.ops.sensitivity import probe_key_from_seed
+
+    def sens_of(split, b, prec, probes=0):
+        pkey = (probe_key_from_seed(jax.random.key, np.uint32(1234))
+                if probes else None)
         return np.asarray(calc_sensitivities(
             tasks[split], parents, jnp.asarray(idx[:b]),
             MutationKind.SAFE_GRAD_SUM, 0.01, matmul_precision=prec,
+            probes=probes, probe_key=pkey,
         ))
 
     base = sens_of(100, BATCH, "float32")
     un_base = base > 1.0 + 1e-6  # entries NOT at the underflow clamp
     out = [{"config": "baseline b256 s100 f32",
             "unclamped_frac": float(un_base.mean())}]
-    for name, split, b, prec in [
-        ("b128 s100 f32", 100, 128, "float32"),
-        ("b64 s100 f32", 100, 64, "float32"),
-        ("b256 s400 f32", 400, BATCH, "float32"),
-        ("b256 s100 bf16", 100, BATCH, "bfloat16"),
-        ("b64 s400 bf16", 400, 64, "bfloat16"),
+    for name, split, b, prec, probes in [
+        ("b128 s100 f32", 100, 128, "float32", 0),
+        ("b64 s100 f32", 100, 64, "float32", 0),
+        ("b256 s400 f32", 400, BATCH, "float32", 0),
+        ("b256 s100 bf16", 100, BATCH, "bfloat16", 0),
+        ("b64 s400 bf16", 400, 64, "bfloat16", 0),
+        ("probes12 b256 s100 f32", 100, BATCH, "float32", 12),
+        ("probes24 b256 s100 f32", 100, BATCH, "float32", 24),
+        ("probes48 b256 s100 f32", 100, BATCH, "float32", 48),
+        ("probes24 b64 s100 bf16", 100, 64, "bfloat16", 24),
     ]:
-        s = sens_of(split, b, prec)
+        s = sens_of(split, b, prec, probes)
         un = s > 1.0 + 1e-6
         both = un & un_base
         rel = np.abs(1.0 / s[both] - 1.0 / base[both]) * base[both]

@@ -83,11 +83,15 @@ def main():
     )
     idx_full = rng.integers(0, task100.train_n, size=BATCH, dtype=np.int32)
 
-    def run(task, idx, precision):
+    from nes_img_captioning_tpu.ops.sensitivity import probe_key_from_seed
+
+    def run(task, idx, precision, probes=0):
+        pkey = (probe_key_from_seed(jax.random.key, np.uint32(1234))
+                if probes else None)
         t0 = time.time()
         sens = jax.block_until_ready(calc_sensitivities(
             task, parents, jnp.asarray(idx), MutationKind.SAFE_GRAD_SUM,
-            0.01, matmul_precision=precision,
+            0.01, matmul_precision=precision, probes=probes, probe_key=pkey,
         ))
         warm = time.time() - t0
         ts = []
@@ -101,7 +105,7 @@ def main():
             out = calc_sensitivities(
                 task, parents, jnp.asarray(idx_r),
                 MutationKind.SAFE_GRAD_SUM, 0.01,
-                matmul_precision=precision,
+                matmul_precision=precision, probes=probes, probe_key=pkey,
             )
             np.asarray(out[0, :8])
             jax.block_until_ready(out)
@@ -109,19 +113,26 @@ def main():
         return np.asarray(sens), float(np.median(ts)) * 1e3, warm
 
     configs = [
-        ("baseline b256 s100 f32", 100, BATCH, "float32"),
-        ("b64 s100 f32", 100, 64, "float32"),
-        ("b128 s100 f32", 100, 128, "float32"),
-        ("b256 s400 f32", 400, BATCH, "float32"),
-        ("b256 s100 bf16", 100, BATCH, "bfloat16"),
-        ("b64 s400 f32", 400, 64, "float32"),
-        ("b64 s400 bf16", 400, 64, "bfloat16"),
+        ("baseline b256 s100 f32", 100, BATCH, "float32", 0),
+        ("b64 s100 f32", 100, 64, "float32", 0),
+        ("b128 s100 f32", 100, 128, "float32", 0),
+        ("b256 s400 f32", 400, BATCH, "float32", 0),
+        ("b256 s100 bf16", 100, BATCH, "bfloat16", 0),
+        ("b64 s400 f32", 400, 64, "float32", 0),
+        ("b64 s400 bf16", 400, 64, "bfloat16", 0),
+        # (e) randomized column-norm probes (tpu.sensitivity_probes):
+        # R VJP rows instead of 97, UNBIASED for the split-100 quantity
+        ("probes12 b256 s100 f32", 100, BATCH, "float32", 12),
+        ("probes24 b256 s100 f32", 100, BATCH, "float32", 24),
+        ("probes48 b256 s100 f32", 100, BATCH, "float32", 48),
+        ("probes24 b64 s100 f32", 100, 64, "float32", 24),
+        ("probes24 b64 s100 bf16", 100, 64, "bfloat16", 24),
     ]
     tasks = {100: task100, 400: build_task(400)}
     results = []
     base = None
-    for name, split, b, prec in configs:
-        sens, ms, warm = run(tasks[split], idx_full[:b], prec)
+    for name, split, b, prec, probes in configs:
+        sens, ms, warm = run(tasks[split], idx_full[:b], prec, probes)
         row = {"config": name, "ms_per_gen": round(ms),
                "ms_per_parent": round(ms / MU, 1),
                "warmup_s": round(warm, 1)}

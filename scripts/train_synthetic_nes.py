@@ -44,6 +44,9 @@ def main():
     parser.add_argument("--sens-batch", type=int, default=0)
     parser.add_argument("--sens-split", type=int, default=100)
     parser.add_argument("--sens-precision", type=str, default="float32")
+    parser.add_argument("--sens-probes", type=int, default=0,
+                        help="tpu.sensitivity_probes: randomized SM-G-SUM "
+                             "column-norm estimator, 0 = exact jacrev")
     parser.add_argument("--no-fused-es", action="store_true",
                         help="force the host-choreographed ES path")
     parser.add_argument("--fused-validation", default="auto",
@@ -142,6 +145,7 @@ def main():
             sensitivity_batch=args.sens_batch,
             sensitivity_split=args.sens_split,
             sensitivity_precision=args.sens_precision,
+            sensitivity_probes=args.sens_probes,
         )
 
     if args.algo == "nic_es":

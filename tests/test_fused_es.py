@@ -72,16 +72,19 @@ def _es_exp(copts, log_dir, **over):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("safe_mutations",
-                         ["SM-PROPORTIONAL", "SM-G-SUM", "SM-G-ABS"])
+@pytest.mark.parametrize("safe_mutations,probes",
+                         [("SM-PROPORTIONAL", 0), ("SM-G-SUM", 0),
+                          ("SM-G-ABS", 0), ("SM-G-SUM", 8)])
 def test_fused_es_matches_plain_trajectory(coco_fixture, tmp_path,
-                                           safe_mutations):
+                                           safe_mutations, probes):
     """The one-dispatch fused generation must reproduce the plain
     host-choreographed trajectory: same fitness series, same podium/accuracy
     series (device vs host validation differ only at f32 level), same final
     parent bytes, same z_info surface. SM-G-SUM additionally exercises the
     IN-PROGRAM per-parent sensitivity sweep vs the plain path's separate
-    calc_sensitivities dispatch."""
+    calc_sensitivities dispatch; the probes=8 leg pins that the randomized
+    estimator (tpu.sensitivity_probes) derives the SAME probe stream on
+    both paths (offspring-seed 0, PROBE_FOLD)."""
     import glob
     import json
     import os
@@ -92,7 +95,8 @@ def test_fused_es_matches_plain_trajectory(coco_fixture, tmp_path,
     for fused in (False, True):
         exp = _es_exp(dict(coco_fixture), str(tmp_path / f"run{fused}"),
                       safe_mutations=safe_mutations,
-                      tpu={"seed": 5, "fused_es": fused})
+                      tpu={"seed": 5, "fused_es": fused,
+                           "sensitivity_probes": probes})
         master = ESMaster(exp)
         calls = {"n": 0}
         orig = master.engine.fused_generation
@@ -179,9 +183,10 @@ def test_fused_es_on_virtual_mesh(coco_fixture, tmp_path, safe_mutations):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("safe_mutations", ["", "SM-G-SUM"])
+@pytest.mark.parametrize("safe_mutations,probes",
+                         [("", 0), ("SM-G-SUM", 0), ("SM-G-SUM", 8)])
 def test_es_block_matches_per_generation(coco_fixture, tmp_path,
-                                         safe_mutations):
+                                         safe_mutations, probes):
     """tpu.gens_per_dispatch for ES: K-generation blocks (device-side
     podium merge + parent assembly in a lax.scan) must reproduce the
     per-generation fused trajectory — same stats series, same podium
@@ -199,7 +204,8 @@ def test_es_block_matches_per_generation(coco_fixture, tmp_path,
     for block in (1, 4):
         exp = _es_exp(dict(coco_fixture), str(tmp_path / f"run{block}"),
                       safe_mutations=safe_mutations,
-                      tpu={"seed": 5, "gens_per_dispatch": block})
+                      tpu={"seed": 5, "gens_per_dispatch": block,
+                           "sensitivity_probes": probes})
         exp["config"]["snapshot_freq"] = 4
         master = ESMaster(exp)
         calls = {"block": 0, "single": 0}

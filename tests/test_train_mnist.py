@@ -156,6 +156,61 @@ def test_nes_inline_sens_matches_host_sens(tmp_path):
 
 
 @pytest.mark.slow
+def test_nes_inline_probe_sens_matches_host(tmp_path):
+    """tpu.sensitivity_probes parity across the two SM-G plumbing paths:
+    the in-program randomized estimator (inline_sens, key derived in-trace
+    from the seeds operand) must equal the host-computed calc_sensitivity
+    path given the same member-0 seed — same probe stream, same generation
+    output."""
+    import jax
+
+    from nes_img_captioning_tpu.algorithms.nes import NESEngine, NESMaster
+    from nes_img_captioning_tpu.algorithms.optimizers import Adam
+    from nes_img_captioning_tpu.ops.mutation import MutationKind
+    from nes_img_captioning_tpu.ops.sensitivity import (
+        calc_sensitivity, probe_key_from_seed)
+
+    R = 8
+    kind = MutationKind.SAFE_GRAD_SUM
+    exp = _mnist_exp("nic_nes", str(tmp_path / "run_probes"),
+                     safe_mutations=kind.value)
+    master = NESMaster(exp)  # for its task/theta plumbing only
+    task, theta = master.task, master.theta
+    opt0 = Adam(0.01).init(task.spec.num_params)
+
+    rng = np.random.default_rng(7)
+    F = 4
+    seeds = rng.integers(0, 2**32, size=F, dtype=np.uint32)
+    idx = np.tile(np.arange(8, dtype=np.int32), (F, 1))
+
+    eng_inline = NESEngine(task, Adam(0.01), kind, pop_chunk=4,
+                           sens_probes=R)
+    assert eng_inline.inline_sens and eng_inline._sens_probes == R
+    th_a, _, packed_a = eng_inline.generation(
+        theta, opt0, master._sens, 0.05, seeds, idx, 0.01, 0.0)
+
+    eng_host = NESEngine(task, Adam(0.01), kind, pop_chunk=4,
+                         sens_probes=R, inline_sens=False)
+    sens = calc_sensitivity(
+        task, theta, jax.numpy.asarray(idx[0]), kind, 0.01,
+        probes=R,
+        probe_key=probe_key_from_seed(eng_host._mk_key, seeds[0]))
+    th_b, _, packed_b = eng_host.generation(
+        theta, opt0, sens, 0.05, seeds, idx, 0.01, 0.0)
+
+    np.testing.assert_allclose(np.asarray(packed_a), np.asarray(packed_b),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(th_a), np.asarray(th_b),
+                               rtol=1e-5, atol=1e-7)
+    # the estimator must differ from exact (probes actually in effect) yet
+    # respect the postprocess floor
+    exact = np.asarray(calc_sensitivity(
+        task, theta, jax.numpy.asarray(idx[0]), kind, 0.01))
+    assert np.asarray(sens).min() >= 1.0
+    assert not np.allclose(np.asarray(sens), exact)
+
+
+@pytest.mark.slow
 def test_es_trains_and_checkpoints(tmp_path):
     from nes_img_captioning_tpu.algorithms.es import ESMaster
 

@@ -154,18 +154,21 @@ def test_fused_es_matches_plain_trajectory(coco_fixture, tmp_path,
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("safe_mutations", ["", "SM-G-SUM"])
-def test_fused_es_on_virtual_mesh(coco_fixture, tmp_path, safe_mutations):
+@pytest.mark.parametrize("safe_mutations,probes",
+                         [("", 0), ("SM-G-SUM", 0), ("SM-G-SUM", 8)])
+def test_fused_es_on_virtual_mesh(coco_fixture, tmp_path, safe_mutations,
+                                  probes):
     """Fused generations with the population sharded over the 8 virtual
     devices (the dryrun convention for multi-chip); SM-G-SUM additionally
-    runs the in-program per-parent jacrev sweep under the mesh."""
+    runs the in-program per-parent jacrev sweep under the mesh, and the
+    probes leg its randomized estimator (tpu.sensitivity_probes)."""
     from nes_img_captioning_tpu.algorithms.es import ESMaster
 
     exp = _es_exp(dict(coco_fixture), str(tmp_path / "run"),
                   selection="tournament", tournament_size=3,
                   safe_mutations=safe_mutations,
                   tpu={"seed": 5, "mesh_shape": [8], "pop_chunk": 8,
-                       "gens_per_dispatch": 2})
+                       "gens_per_dispatch": 2, "sensitivity_probes": probes})
     master = ESMaster(exp)
     calls = {"n": 0}
     orig = master.engine.fused_block

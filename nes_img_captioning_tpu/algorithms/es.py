@@ -68,10 +68,31 @@ class ESEngine(PopulationEngine):
                  pop_chunk: int = 0, rng_impl: str = "",
                  sens_underflow: float = 0.01,
                  sens_precision: str = "float32",
-                 sens_probes: int = 0):
+                 sens_probes: int = 0,
+                 use_layout: object = True):
         super().__init__(task, mesh=mesh, pop_chunk=pop_chunk,
                          rng_impl=rng_impl)
         self.mutation = mutation
+        # decode-ordered sweep (tpu.es_decode_layout, ops/decode_layout.py):
+        # children are built and rolled out in the fused kernel's own
+        # parameter layout — the per-offspring prep becomes one elementwise
+        # pass (the NES engine's round-2 treatment); winners come back to
+        # torch order through the exact linear from_dec. Noise is drawn
+        # over the padded decode-ordered axis (pad lanes scale 0), so the
+        # realized children differ from the torch-order path for the same
+        # seeds — an equally valid reference-semantics stream
+        # (src/algorithm/nets.py:83-119 draws from torch's global RNG).
+        self._layout = (
+            getattr(task, "decode_layout", None)
+            if use_layout is not False else None
+        )
+        # kinds whose noise scale differs per parent: SM-G-* (per-parent
+        # sensitivity rows) and SM-PROPORTIONAL (|parent| factors); plain
+        # and SM-VECTOR share one scale row
+        self._per_parent_scale = mutation in (
+            MutationKind.SAFE_GRAD_SUM, MutationKind.SAFE_GRAD_ABS,
+            MutationKind.SAFE_PROPORTIONAL,
+        )
         # SM-G in-program sensitivity parameters (fused generation only;
         # the unfused path gets them per-call via calc_sensitivities)
         self._sens_underflow = float(sens_underflow)
@@ -123,12 +144,71 @@ class ESEngine(PopulationEngine):
         )
         return parent + delta
 
+    def _scale_rows_dec(self, parents_mat, sens_mat, sigma):
+        """(R, dim_dec) noise-scale rows for the layout path: a child's
+        delta is ``select_row(scale, ci) * N(0,1)`` — shape_noise's factors
+        depend only on (parent, sens, sigma), so they hoist out of the
+        offspring loop exactly like NESEngine._scale_vec. Per-parent rows
+        for SM-G (sens_mat rows align with parents) and SM-PROPORTIONAL;
+        one shared row otherwise. pad_scale=0 keeps pad lanes noiseless."""
+        lay = self._layout
+        base = jnp.full((self.dim,), sigma, jnp.float32)
+
+        def row(p, s):
+            return lay.to_dec(
+                shape_noise(
+                    base, p,
+                    sensitivity=s if self.mutation.is_safe else None,
+                    proportional=self.mutation.is_proportional,
+                ),
+                pad_scale=0.0,
+            )
+
+        if self.mutation in (MutationKind.SAFE_GRAD_SUM,
+                             MutationKind.SAFE_GRAD_ABS):
+            return jax.vmap(row)(parents_mat, sens_mat)
+        if self.mutation.is_proportional:
+            return jax.vmap(lambda p: row(p, None))(parents_mat)
+        return row(parents_mat[0], sens_mat[0])[None]
+
+    def _child_ctx(self, parents_mat, sens_mat, sigma):
+        """Per-program child-construction context: (build, rollout, finish).
+        ``build(seed, pi, si)`` returns the child in ROLLOUT space —
+        decode-ordered on the layout path, torch-ordered otherwise;
+        ``rollout`` is the matching task entry point; ``finish`` maps a
+        stacked (k, .) child matrix back to torch order (identity off the
+        layout path, the exact linear from_dec on it). The layout
+        transforms of the parent/scale rows are paid once per program, not
+        per offspring."""
+        lay = self._layout
+        if lay is None:
+            def build(seed, pi, si):
+                return self._child(parents_mat, sens_mat, sigma, seed, pi, si)
+
+            return build, self.task.rollout, lambda m: m
+
+        parents_dec = jax.vmap(lay.to_dec)(parents_mat)
+        scale_dec = self._scale_rows_dec(parents_mat, sens_mat, sigma)
+
+        def build(seed, pi, si):
+            del si  # SM-G scale rows are per-parent: ci == pi by construction
+            ci = pi if self._per_parent_scale else jnp.zeros_like(pi)
+            p = self._select_row(parents_dec, pi)
+            sc = self._select_row(scale_dec, ci)
+            return p + sc * jax.random.normal(
+                self._mk_key(seed), (lay.dim_dec,), jnp.float32
+            )
+
+        return build, self.task.rollout_dec, jax.vmap(lay.from_dec)
+
     def _eval_fn(self, parents_mat, sens_mat, sigma, seeds, pidx, sidx,
                  idx_row, consts):
+        build, rollout, _ = self._child_ctx(parents_mat, sens_mat, sigma)
+
         def one(seed, pi, si):
-            child = self._child(parents_mat, sens_mat, sigma, seed, pi, si)
+            child = build(seed, pi, si)
             key = jax.random.fold_in(self._mk_key(seed), 3)
-            return self.task.rollout(child, idx_row, key=key, consts=consts)
+            return rollout(child, idx_row, key=key, consts=consts)
 
         return jax.lax.map(
             lambda xs: jax.vmap(one)(*xs), (seeds, pidx, sidx)
@@ -143,9 +223,8 @@ class ESEngine(PopulationEngine):
         return jax.lax.map(lambda s: jax.vmap(one)(s), seeds)
 
     def _materialize_fn(self, parents_mat, sens_mat, sigma, seeds, pidx, sidx):
-        return jax.vmap(
-            lambda s, pi, si: self._child(parents_mat, sens_mat, sigma, s, pi, si)
-        )(seeds, pidx, sidx)
+        build, _, finish = self._child_ctx(parents_mat, sens_mat, sigma)
+        return finish(jax.vmap(build)(seeds, pidx, sidx))
 
     def _materialize_fresh_fn(self, seeds):
         return jax.vmap(
@@ -243,10 +322,12 @@ class ESEngine(PopulationEngine):
                 raw = abs_sens_many_traced(fwd, parents, sens_idx, consts)
             sens_mat = postprocess(raw, self._sens_underflow)
 
+        build, rollout, finish = self._child_ctx(parents, sens_mat, sigma)
+
         def one(seed, pi, si):
-            child = self._child(parents, sens_mat, sigma, seed, pi, si)
+            child = build(seed, pi, si)
             key = jax.random.fold_in(self._mk_key(seed), 3)
-            art = self.task.rollout(child, idx_row, key=key, consts=consts)
+            art = rollout(child, idx_row, key=key, consts=consts)
             return art["fitness"] if isinstance(art, dict) else art
 
         fits = jax.lax.map(
@@ -260,10 +341,9 @@ class ESEngine(PopulationEngine):
         sidx_f = sidx.reshape(-1)[:n_offspring]
 
         def materialize(js):
-            return jax.vmap(lambda j: self._child(
-                parents, sens_mat, sigma,
+            return finish(jax.vmap(lambda j: build(
                 seeds_f[j], pidx_f[j], sidx_f[j],
-            ))(js)
+            ))(js))
 
         new_selected = materialize(order[:n_keep])
         # candidates = top-n_cands children = a prefix of the selected rows
@@ -506,6 +586,7 @@ class ESMaster:
             sens_underflow=self._underflow,
             sens_precision=self.tpu_cfg.sensitivity_precision,
             sens_probes=self.tpu_cfg.sensitivity_probes,
+            use_layout=self.tpu_cfg.es_decode_layout,
         )
         self._init_multihost_placement()
 

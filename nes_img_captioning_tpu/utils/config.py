@@ -117,6 +117,18 @@ class TpuConfig:
     # per-validation predictions-JSON artifact is not written (same as the
     # fused ES candidate validation).
     fused_validation: object = "auto"
+    # decode-ordered ES offspring sweep: build children directly in the
+    # fused decode kernel's parameter layout (ops/decode_layout.py), so the
+    # per-offspring prep is one elementwise pass instead of
+    # unravel+transpose+pad+cast (~40 us x lambda per generation; the NES
+    # engine has used this layout since round 2). "auto"/True = on whenever
+    # the task exposes a decode layout (fused kernel + device fitness);
+    # False = torch-order children everywhere. NOTE: the layout path draws
+    # each child's noise over the padded decode-ordered axis, so
+    # trajectories differ from the torch-order path for the same seeds
+    # (both are valid reference-semantics streams; winners are replayed
+    # from the same lineage either way, equal up to FMA contraction).
+    es_decode_layout: object = "auto"
     # PRNG used for on-device noise/init streams: "" = jax default
     # (threefry2x32); "rbg" trades cross-backend stream identity for ~2.5x
     # faster generation on TPU (noise is regenerated twice per generation,
@@ -159,7 +171,7 @@ def parse_tpu_config(exp: dict) -> TpuConfig:
         raise ValueError(
             f"tpu.sensitivity_probes={cfg['sensitivity_probes']!r}: "
             "expected 0 (exact) or a positive probe count")
-    for knob in ("fused_es", "fused_validation"):
+    for knob in ("fused_es", "fused_validation", "es_decode_layout"):
         # the gates test `want is not False`, so near-miss spellings like
         # 0 or "false" would silently leave the fused paths ON — reject them
         # (identity checks: `0 in (True, False)` would be truthy)

@@ -586,7 +586,11 @@ class ESMaster:
             sens_underflow=self._underflow,
             sens_precision=self.tpu_cfg.sensitivity_precision,
             sens_probes=self.tpu_cfg.sensitivity_probes,
-            use_layout=self.tpu_cfg.es_decode_layout,
+            # "auto" resolves to OFF: the isolated offspring-sweep A/B
+            # (scripts/exp_es_layout.py) measured the layout a wash for
+            # plain mutations and ~5% slower for SM-G at mscoco_es dims,
+            # so it's an explicit opt-in (docs/RESULTS.md)
+            use_layout=(self.tpu_cfg.es_decode_layout is True),
         )
         self._init_multihost_placement()
 

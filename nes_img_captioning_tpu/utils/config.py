@@ -120,14 +120,17 @@ class TpuConfig:
     # decode-ordered ES offspring sweep: build children directly in the
     # fused decode kernel's parameter layout (ops/decode_layout.py), so the
     # per-offspring prep is one elementwise pass instead of
-    # unravel+transpose+pad+cast (~40 us x lambda per generation; the NES
-    # engine has used this layout since round 2). "auto"/True = on whenever
-    # the task exposes a decode layout (fused kernel + device fitness);
-    # False = torch-order children everywhere. NOTE: the layout path draws
-    # each child's noise over the padded decode-ordered axis, so
-    # trajectories differ from the torch-order path for the same seeds
-    # (both are valid reference-semantics streams; winners are replayed
-    # from the same lineage either way, equal up to FMA contraction).
+    # unravel+transpose+pad+cast (the NES engine has used this layout since
+    # round 2). True = on whenever the task exposes a decode layout (fused
+    # kernel + device fitness); "auto"/False = torch-order children — the
+    # isolated sweep A/B measured the layout a WASH for plain mutations and
+    # ~5% slower for SM-G at mscoco_es dims (scripts/exp_es_layout.py,
+    # docs/RESULTS.md), so unlike NES it is an explicit opt-in. NOTE: the
+    # layout path draws each child's noise over the padded decode-ordered
+    # axis, so trajectories differ from the torch-order path for the same
+    # seeds (both are valid reference-semantics streams; winners are
+    # replayed from the same lineage either way, equal up to FMA
+    # contraction).
     es_decode_layout: object = "auto"
     # PRNG used for on-device noise/init streams: "" = jax default
     # (threefry2x32); "rbg" trades cross-backend stream identity for ~2.5x

@@ -49,10 +49,12 @@ def main():
                              "column-norm estimator, 0 = exact jacrev")
     parser.add_argument("--no-fused-es", action="store_true",
                         help="force the host-choreographed ES path")
-    parser.add_argument("--no-es-layout", action="store_true",
-                        help="force torch-order ES children "
-                        "(tpu.es_decode_layout=false) — the pre-r3 path; "
-                        "default lets the engine sweep in decode order")
+    parser.add_argument("--es-layout", default="false",
+                        choices=["true", "false"],
+                        help="tpu.es_decode_layout: decode-ordered ES "
+                        "children. Measured a wash/slight loss at "
+                        "mscoco_es dims (docs/RESULTS.md), so off by "
+                        "default like the engine")
     parser.add_argument("--fused-validation", default="auto",
                         choices=["auto", "true", "false"],
                         help="NES in-program validation + device podium "
@@ -163,8 +165,7 @@ def main():
         exp["tpu"].pop("val_freq", None)
         if args.no_fused_es:
             exp["tpu"]["fused_es"] = False
-        if args.no_es_layout:
-            exp["tpu"]["es_decode_layout"] = False
+        exp["tpu"]["es_decode_layout"] = args.es_layout == "true"
         from nes_img_captioning_tpu.algorithms.es import ESMaster
 
         master = ESMaster(exp)

@@ -207,7 +207,8 @@ def coco_fixture(tmp_path_factory):
 
 
 def _es_exp(copts, log_dir, **over):
-    tpu = {"seed": 5, "fused_decode": True, "precision": "f32"}
+    tpu = {"seed": 5, "fused_decode": True, "precision": "f32",
+           "es_decode_layout": True}
     tpu.update(over.pop("tpu", {}))
     return {
         "algorithm": "nic_es",

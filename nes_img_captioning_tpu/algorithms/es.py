@@ -36,6 +36,7 @@ from .nes import setup_log_dir
 from .snapshot import save_snapshot
 from .statistics import Statistics
 from ..ops.mutation import MutationKind, gaussian_noise, shape_noise
+from ..ops.sensitivity import resolve_probes
 from ..parallel.mesh import make_mesh, pop_axis_size, shard_population
 from ..parallel.transfer import pull_chunked
 from ..utils.config import parse_config, parse_tpu_config
@@ -69,7 +70,7 @@ class ESEngine(PopulationEngine):
                  sens_underflow: float = 0.01,
                  sens_precision: str = "float32",
                  sens_probes: int = 0,
-                 use_layout: object = True):
+                 use_layout: bool = False):
         super().__init__(task, mesh=mesh, pop_chunk=pop_chunk,
                          rng_impl=rng_impl)
         self.mutation = mutation
@@ -82,9 +83,12 @@ class ESEngine(PopulationEngine):
         # realized children differ from the torch-order path for the same
         # seeds — an equally valid reference-semantics stream
         # (src/algorithm/nets.py:83-119 draws from torch's global RNG).
+        # OFF by default, matching tpu.es_decode_layout's resolved default
+        # (the isolated A/B measured the layout a wash / slight loss for
+        # ES — docs/RESULTS.md "ES decode-ordered offspring")
         self._layout = (
             getattr(task, "decode_layout", None)
-            if use_layout is not False else None
+            if use_layout is True else None
         )
         # kinds whose noise scale differs per parent: SM-G-* (per-parent
         # sensitivity rows) and SM-PROPORTIONAL (|parent| factors); plain
@@ -97,13 +101,7 @@ class ESEngine(PopulationEngine):
         # the unfused path gets them per-call via calc_sensitivities)
         self._sens_underflow = float(sens_underflow)
         self._sens_precision = sens_precision
-        self._sens_probes = int(sens_probes)
-        if self._sens_probes and mutation is MutationKind.SAFE_GRAD_ABS:
-            logger.warning(
-                "tpu.sensitivity_probes applies to SM-G-SUM only (the ABS "
-                "path's per-sample |J| average has no column-norm identity); "
-                "SM-G-ABS runs exact")
-            self._sens_probes = 0
+        self._sens_probes = resolve_probes(mutation, sens_probes)
 
         # multi-controller: replicated outputs so the host can fetch
         # fitnesses / materialized thetas (single-controller: None = default)

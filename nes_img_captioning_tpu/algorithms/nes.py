@@ -40,6 +40,7 @@ from .snapshot import save_snapshot
 from .statistics import Statistics
 from ..ops.mutation import MutationKind, gaussian_noise, shape_noise
 from ..ops.ranks import compute_centered_ranks
+from ..ops.sensitivity import resolve_probes
 from ..parallel.mesh import make_mesh
 from ..parallel.transfer import pull_chunked
 from ..utils.config import parse_config, parse_tpu_config
@@ -76,13 +77,7 @@ class NESEngine(PopulationEngine):
         self._sens_underflow = float(sens_underflow)
         self._sens_precision = sens_precision
         self._sens_batch = int(sens_batch)
-        self._sens_probes = int(sens_probes)
-        if self._sens_probes and mutation is MutationKind.SAFE_GRAD_ABS:
-            logger.warning(
-                "tpu.sensitivity_probes applies to SM-G-SUM only (the ABS "
-                "path's per-sample |J| average has no column-norm identity); "
-                "SM-G-ABS runs exact")
-            self._sens_probes = 0
+        self._sens_probes = resolve_probes(mutation, sens_probes)
         if inline_sens is None:
             inline_sens = (
                 mutation in (MutationKind.SAFE_GRAD_SUM,

@@ -20,6 +20,8 @@ vectorizes the reference's K explicit backward passes into one vmapped VJP.
 
 from __future__ import annotations
 
+import logging
+
 import jax
 import jax.numpy as jnp
 
@@ -30,12 +32,15 @@ __all__ = ["calc_sensitivity", "calc_sensitivities", "sm_g_sum", "sm_g_abs",
            "sum_sens_traced", "abs_sens_traced", "postprocess",
            "subsample_batch_rows", "sm_vector_normalize",
            "sum_sens_probes_traced", "sum_sens_probes_many_traced",
-           "probe_key_from_seed", "PROBE_FOLD"]
+           "probe_key_from_seed", "PROBE_FOLD", "resolve_probes"]
 
 # fold_in tag for the probe stream, derived from the generation's member-0
-# seed. Unused by every other per-seed stream: the raw key draws the
-# mutation noise, NES rollouts fold 1/2, ES rollouts fold 3.
-PROBE_FOLD = 4
+# seed. The other per-seed streams on the same raw key are the mutation
+# noise (no fold), NES rollout folds 1/2, ES rollout fold 3, and — for
+# seeds that ever feed a fresh init — init_theta's per-leaf folds
+# 0..n_leaves-1 (models/params.py:init_theta), so small-integer tags are
+# NOT unique; the probe tag sits far above any leaf index.
+PROBE_FOLD = 0x50524245  # "PRBE"
 
 
 def probe_key_from_seed(mk_key, seed):
@@ -45,6 +50,21 @@ def probe_key_from_seed(mk_key, seed):
     inline_sens, fused ES) derive the key this way, so the estimator is
     operand-exact across them and deterministic per tpu.seed."""
     return jax.random.fold_in(mk_key(seed), PROBE_FOLD)
+
+
+def resolve_probes(mutation, probes: int) -> int:
+    """Probe-count eligibility shared by both engines: the randomized
+    estimator applies to SM-G-SUM only (the ABS path's per-sample |J|
+    average has no column-norm identity), so SM-G-ABS runs exact with a
+    one-time warning."""
+    probes = int(probes)
+    if probes and mutation is MutationKind.SAFE_GRAD_ABS:
+        logging.getLogger(__name__).warning(
+            "tpu.sensitivity_probes applies to SM-G-SUM only (the ABS "
+            "path's per-sample |J| average has no column-norm identity); "
+            "SM-G-ABS runs exact")
+        return 0
+    return probes
 
 
 def sm_vector_normalize(vector, underflow: float):

@@ -101,7 +101,9 @@ def main():
     sens_rows = P if kind in (MutationKind.SAFE_GRAD_SUM,
                               MutationKind.SAFE_GRAD_ABS) else 1
     sens = jnp.asarray(1.0 + prng.random((sens_rows, dim)), jnp.float32)
-    n_train = 8192
+    n_train = task.train_n  # NOT the make_synthetic_coco arg: --data may
+    # point at a pre-existing fixture built with fewer rows, and OOB
+    # gather indices clamp silently on TPU
 
     results = {}
     for name, use_layout in (("layout", True), ("torch-order", False)):

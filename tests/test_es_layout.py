@@ -50,6 +50,7 @@ def coco_task(tmp_path_factory):
 def _engine(task, kind, **kw):
     from nes_img_captioning_tpu.algorithms.es import ESEngine
 
+    kw.setdefault("use_layout", True)  # this file tests the layout path
     return ESEngine(task, kind, **kw)
 
 
@@ -89,9 +90,6 @@ def test_layout_sweep_matches_manual_replay(coco_task, kind):
     art = eng.eval_generation(parents, sens, sigma, seeds, pidx, idx_row)
     got = np.asarray(art["fitness"])
 
-    per_parent = kind in (MutationKind.SAFE_GRAD_SUM,
-                          MutationKind.SAFE_GRAD_ABS,
-                          MutationKind.SAFE_PROPORTIONAL)
     want = np.empty_like(got)
     roll = jax.jit(task.rollout)
     for i, (s, pi) in enumerate(zip(seeds, pidx)):
@@ -103,8 +101,9 @@ def test_layout_sweep_matches_manual_replay(coco_task, kind):
             proportional=kind.is_proportional,
         )
         scale_dec = lay.to_dec(scale, pad_scale=0.0)
-        # the layout path's scale row index: pi for per-parent kinds, 0 else
-        assert per_parent or pi == pidx[i]
+        # srow above mirrors the engine's scale-row choice (row pi for
+        # per-parent kinds, row 0 otherwise); a wrong choice in the engine
+        # changes the child and fails the fitness equality below
         delta_dec = scale_dec * jax.random.normal(
             eng._mk_key(np.uint32(s)), (lay.dim_dec,), jnp.float32
         )
@@ -189,11 +188,21 @@ def test_layout_sweep_on_mesh_matches_unsharded(coco_task):
 
 
 def test_layout_knob_gating(coco_task):
-    """tpu.es_decode_layout False must force the torch-order path; the
-    default auto picks the layout up whenever the task exposes one."""
+    """Only an explicit use_layout=True opts into the decode-ordered path:
+    the engine default, truthy near-misses (1), and the master's "auto"
+    all resolve to torch order (the measured default — docs/RESULTS.md)."""
+    from nes_img_captioning_tpu.algorithms.es import ESEngine
+
     assert _engine(coco_task, MutationKind.DEFAULT)._layout is not None
     assert _engine(coco_task, MutationKind.DEFAULT,
                    use_layout=False)._layout is None
+    # bare constructor (production default) = torch order, and the gate is
+    # an identity check: use_layout=1 must NOT silently enable the layout
+    assert ESEngine(coco_task, MutationKind.DEFAULT)._layout is None
+    assert ESEngine(coco_task, MutationKind.DEFAULT,
+                    use_layout=1)._layout is None
+    assert (parse_tpu_config({"tpu": {"es_decode_layout": "auto"}})
+            .es_decode_layout is not True)
     with pytest.raises(ValueError, match="es_decode_layout"):
         parse_tpu_config({"tpu": {"es_decode_layout": "false"}})
 

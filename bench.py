@@ -29,7 +29,11 @@ import time
 
 import numpy as np
 
-POP = 288          # nb_offspring (144 antithetic pairs)
+# The bench's own population definition (BASELINE.md "pop 288, batch 128"):
+# 288 member evaluations = 144 antithetic pairs per generation. NOTE: this is
+# NOT the experiment-JSON `nb_offspring`, which counts PAIRS (reference
+# semantics, nes.py:_pair_count) — nb_offspring=144 would produce this regime.
+POP = 288
 BATCH = 128
 N_TIMED = 10
 TARGET_PER_CHIP = 1000.0 / 8.0  # BASELINE.json: >=1000 evals/s on v5e-8

@@ -1,9 +1,13 @@
 """NIC-NES: natural evolution strategy as a single SPMD program.
 
 Reference behavior (src/algorithm/nic_nes/): one parameter vector theta;
-nb_offspring/2 antithetic Gaussian perturbation pairs are fitness-evaluated
-on minibatches; centered-rank weights produce a gradient estimate
-``sum_i (rank_pos_i - rank_neg_i) * delta_i / nb_offspring`` that updates
+``nb_offspring`` antithetic Gaussian perturbation PAIRS (2*nb_offspring
+rollouts — one worker result = one (pos, neg) pair, nic_nes_worker.py:142-161,
+and the master counts nb_offspring results, tools/iteration.py:110-112,173)
+are fitness-evaluated on minibatches; centered-rank weights produce a
+gradient estimate ``sum_i (rank_pos_i - rank_neg_i) * delta_i /
+(2*nb_offspring)`` (normalizer = ranked_fitnesses.size,
+nic_nes_master.py:181) that updates
 theta through Adam/SGD with L2 regularization; sigma/batch-size anneal on
 patience or a fixed schedule; the current model is validation-scored every
 generation and fed to the podium.
@@ -710,17 +714,15 @@ class NESMaster:
     # ---- per-generation pieces ------------------------------------------------------
 
     def _pair_count(self) -> int:
-        """Exactly nb_offspring/2 antithetic pairs — the engine pads sweeps
-        to mesh multiples internally, so no offspring are dropped (the
-        reference evaluates exactly nb_offspring results,
-        nic_nes_master.py:92-118)."""
-        nb = self.exp["nb_offspring"]
-        if nb % 2:
-            logger.warning(
-                "nb_offspring=%d is odd; evaluating %d (antithetic pairs)",
-                nb, nb - 1,
-            )
-        return max(nb // 2, 1)
+        """Exactly ``nb_offspring`` antithetic PAIRS = 2*nb_offspring
+        rollouts per generation. In the reference one worker result is one
+        (pos, neg) mirrored pair (nic_nes_worker.py:142-161), the master
+        counts nb_offspring results (tools/iteration.py:110-112, initialized
+        at :173), and ``fitnesses()`` stacks to (nb_offspring, 2)
+        (nic_nes/iteration.py:63-67) — so mscoco_nes.json's nb_offspring=2000
+        means 2000 pairs = 4000 rollouts. The engine pads sweeps to mesh
+        multiples internally, so no pairs are dropped."""
+        return max(self.exp["nb_offspring"], 1)
 
     def _draw_batches(self, F: int, bs: int) -> np.ndarray:
         from ..data.core import EpochSampler

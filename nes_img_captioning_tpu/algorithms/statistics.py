@@ -187,3 +187,6 @@ class Statistics:
 
     def time_stats(self):
         return self._time_stats
+
+    def bs_stats(self):
+        return self._bs_stats

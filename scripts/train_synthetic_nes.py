@@ -34,7 +34,11 @@ def main():
                         default="nic_nes")
     parser.add_argument("--gens", type=int, default=1000)
     parser.add_argument("--xent-steps", type=int, default=500)
-    parser.add_argument("--pop", type=int, default=288)  # offspring evals
+    # --pop counts member EVALUATIONS (rollouts). For NES this converts to
+    # nb_offspring = pop/2 antithetic PAIRS (reference semantics,
+    # nes.py:_pair_count); for ES one offspring = one rollout, so
+    # nb_offspring = pop directly.
+    parser.add_argument("--pop", type=int, default=288)
     parser.add_argument("--batch", type=int, default=128)
     parser.add_argument("--val-freq", type=int, default=25)
     parser.add_argument("--data", type=str, default="/tmp/nes_train_data")
@@ -105,7 +109,8 @@ def main():
     exp = {
         "algorithm": args.algo,
         "dataset": "mscoco",
-        "nb_offspring": args.pop,
+        "nb_offspring": (max(args.pop // 2, 1) if args.algo == "nic_nes"
+                         else args.pop),
         "num_elites": 1,
         "config": {
             "noise_stdev": 0.01, "batch_size": args.batch,

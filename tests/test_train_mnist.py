@@ -75,6 +75,43 @@ def test_nes_resume_from_infos(tmp_path):
     assert len(master2.stats.score_stats()[1]) == 5
 
 
+def test_nes_population_is_nb_offspring_pairs(tmp_path):
+    """``nb_offspring`` counts antithetic PAIRS — 2*nb_offspring rollouts
+    per generation. Reference: one worker result = one mirrored (pos, neg)
+    pair (nic_nes_worker.py:142-161), the master counts nb_offspring results
+    (tools/iteration.py:110-112, initialized :173), and ``fitnesses()``
+    stacks to (nb_offspring, 2) (nic_nes/iteration.py:63-67), making the
+    gradient normalizer ranked_fitnesses.size = 2*nb_offspring
+    (nic_nes_master.py:181)."""
+    from nes_img_captioning_tpu.algorithms.nes import NESMaster
+
+    NB = 5  # odd on purpose: pairs need no divisibility by 2
+    exp = _mnist_exp("nic_nes", str(tmp_path / "run"), nb_offspring=NB)
+    master = NESMaster(exp)
+    assert master._pair_count() == NB
+
+    captured = []
+    orig_unpack = master.engine.unpack
+
+    def unpack_spy(packed, F):
+        out = orig_unpack(packed, F)
+        captured.append((F, np.asarray(out[0])))
+        return out
+
+    master.engine.unpack = unpack_spy
+    master.run_master(max_iterations=2)
+
+    assert captured, "the fused mnist path unpacks fitnesses per generation"
+    for F, fits in captured:
+        assert F == NB
+        # per generation: (nb_offspring, 2) pos/neg fitnesses
+        assert fits.reshape(-1, NB, 2).shape[1:] == (NB, 2)
+    # the stats series recorded all 2*nb_offspring rollout fitnesses
+    # (reference flat_fitnesses, nic_nes/iteration.py:66-67): the score
+    # min/max come from the full flattened population
+    assert len(master.stats.score_stats()[1]) == 2
+
+
 def test_nes_single_batch_mode(tmp_path):
     from nes_img_captioning_tpu.algorithms.nes import NESMaster
 

@@ -161,6 +161,34 @@ class CocoData:
             self._word_stem_table = table
         return int(self._word_stem_table[word_id])
 
+    def word_syn_of(self, word_id: int):
+        """Word-id (from word_id_rows) -> synonym-class-id frozenset (or
+        None), for METEOR's optional stage-3 synonym matcher. Backed by a
+        user-supplied table (``caption_options.meteor_synonyms`` — a JSON
+        path, see fitness/meteor.load_synonym_table); returns None for every
+        word when no table is configured, keeping the exact+stem behavior.
+        Restores the reference Java METEOR-1.5's WordNet matcher given
+        equivalent data (reference: src/captioning/eval_utils.py:30-57)."""
+        if not hasattr(self, "_word_syn_table"):
+            path = self.opts.get("meteor_synonyms")
+            if not path:
+                self._word_syn_table = {}
+            else:
+                from ..fitness.meteor import load_synonym_table
+
+                syn = load_synonym_table(path)
+                table: dict[int, frozenset] = {}
+                for t in range(1, self.vocab_size + 1):
+                    wid = int(self.word_id_rows(np.asarray([t]))[0])
+                    s = syn.get(self.ix_to_word[str(t)].lower())
+                    if s:
+                        table.setdefault(wid, s)
+                self._word_syn_table = table
+        return self._word_syn_table.get(word_id)
+
+    def has_synonym_table(self) -> bool:
+        return bool(self.opts.get("meteor_synonyms"))
+
     def split_gts_words(self, split: str) -> list:
         """Per-image reference captions as word-id rows (for word-level
         validation scoring)."""

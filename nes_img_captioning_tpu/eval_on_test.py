@@ -52,21 +52,33 @@ def evaluate_checkpoints(models: dict[str, str], caption_options: dict,
 
     all_stats: dict = {}
     preds_per_model: dict = {}
+    spice_cmd = caption_options.get("spice_cmd")
     for name, path in models.items():
         theta = jnp.asarray(model.spec.load_pth(path))
         seqs = []
         for s in range(0, n, batch_size):
             seqs.append(np.asarray(decode(theta, feats[s : s + batch_size])))
         seqs = np.concatenate(seqs, axis=0)
+        sents = data.decode_sequence(seqs)
+        spice_items = None
+        if spice_cmd:
+            # the external SPICE tool consumes string captions (the jar's
+            # own input schema; see fitness/lang_metrics.spice_external)
+            spice_items = [
+                {"image_id": image_ids[i], "test": sents[i],
+                 "refs": data.decode_sequence(gts[i])}
+                for i in range(n)
+            ]
         # word-level scoring: duplicate word strings collapse, matching
         # pycocoevalcap's string convention (data.word_id_rows docstring)
         stats = language_eval(
             data.word_id_rows(seqs),
             [data.word_id_rows(g) for g in gts[:n]],
             stem_of=data.word_stem_of,
+            syn_of=data.word_syn_of if data.has_synonym_table() else None,
+            spice_cmd=spice_cmd, spice_items=spice_items,
         )
         logger.info("%s: %s", name, stats)
-        sents = data.decode_sequence(seqs)
         preds_per_model[name] = [
             {"image_id": image_ids[i], "caption": sents[i],
              "gts": data.decode_sequence(gts[i])}
@@ -102,6 +114,16 @@ def run(argv=None):
     parser.add_argument("--num", type=int, default=5000)
     parser.add_argument("--batch_size", type=int, default=32)
     parser.add_argument("--out", type=str, default="output")
+    parser.add_argument("--meteor_synonyms", type=str, default=None,
+                        help="JSON synonym table (word groups or word->class "
+                        "map) enabling METEOR's synonym matcher — restores "
+                        "the reference Java METEOR-1.5 WordNet stage given "
+                        "equivalent data")
+    parser.add_argument("--spice_cmd", type=str, default=None,
+                        help="external SPICE command template ({input}/"
+                        "{output} placeholders, or both paths appended); "
+                        "e.g. 'java -jar spice.jar {input} -out {output} "
+                        "-subset'. SPICE is reported as null when unset")
     # model dims (the reference hard-codes 128/2048, eval_on_test.py:44-49)
     parser.add_argument("--input_encoding_size", type=int, default=128)
     parser.add_argument("--rnn_size", type=int, default=128)
@@ -118,6 +140,10 @@ def run(argv=None):
         "input_fc_dir": args.input_fc_dir,
         "input_label_h5": args.input_label_h5,
     }
+    if args.meteor_synonyms:
+        copts["meteor_synonyms"] = args.meteor_synonyms
+    if args.spice_cmd:
+        copts["spice_cmd"] = args.spice_cmd
     out = evaluate_checkpoints(models, copts, num=args.num, split=args.split,
                                batch_size=args.batch_size,
                                input_encoding_size=args.input_encoding_size,

@@ -9,21 +9,23 @@ pure-Python computable metrics over token ids (BLEU with corpus-level brevity
 penalty and closest-reference length, per Papineni et al. 2002 / the
 coco-caption convention; ROUGE-L per Lin 2004 with beta=1.2 as in
 coco-caption; METEOR per Banerjee & Lavie 2005 with exact + Porter-stem
-matchers — see fitness/meteor.py for the deviation from the Java
-METEOR-1.5's synonym/paraphrase stages). SPICE requires an external
+matchers, plus an optional synonym matcher when user-supplied synonym data
+is configured — see fitness/meteor.py). SPICE requires an external
 dependency parser + scene-graph models and is intentionally not
-reimplemented; ``language_eval`` reports it as None.
+reimplemented; ``language_eval`` reports it as None unless a user-provided
+external tool is configured (``spice_cmd`` — see ``spice_external``).
 """
 
 from __future__ import annotations
 
+import os
 from collections import Counter
 
 import numpy as np
 
 from .ciderd import cut_at_eos
 
-__all__ = ["corpus_bleu", "rouge_l", "language_eval"]
+__all__ = ["corpus_bleu", "rouge_l", "language_eval", "spice_external"]
 
 
 def _tokens(row) -> tuple:
@@ -97,17 +99,97 @@ def rouge_l(cands, gts_list, beta: float = 1.2) -> float:
     return float(np.mean(scores)) if scores else 0.0
 
 
-def language_eval(cands, gts_list, stem_of=None) -> dict:
+def spice_external(cmd: str, items: list[dict]) -> float | None:
+    """Score SPICE through a user-provided external tool (the reference's
+    Java scene-graph pipeline, src/captioning/eval_utils.py:49-57 — too
+    heavy to ship, so this is a hook for real hosts that have it).
+
+    ``cmd``: a shell command template. ``{input}`` / ``{output}``
+    placeholders are substituted with temp-file paths; without placeholders
+    the two paths are appended as the final arguments (the SPICE jar's
+    ``java -jar spice.jar input.json -out output.json`` fits as
+    ``java -jar spice.jar {input} -out {output} -subset``).
+
+    ``items``: ``[{"image_id", "test", "refs": [...]}, ...]`` — the SPICE
+    jar's own input schema (string captions).
+
+    Output parsing accepts either the jar's per-image list
+    (``[{"image_id", "scores": {"All": {"f": x}}}, ...]`` — mean of the
+    All-f scores) or a plain ``{"SPICE": x}`` dict for custom scripts.
+    Returns None (with a warning) when the tool fails."""
+    import json as _json
+    import logging
+    import shlex
+    import subprocess
+    import tempfile
+
+    log = logging.getLogger(__name__)
+    with tempfile.TemporaryDirectory(prefix="spice_") as tmp:
+        in_path = os.path.join(tmp, "spice_input.json")
+        out_path = os.path.join(tmp, "spice_output.json")
+        with open(in_path, "w") as f:
+            _json.dump(items, f)
+        if "{input}" in cmd or "{output}" in cmd:
+            argv = [
+                a.replace("{input}", in_path).replace("{output}", out_path)
+                for a in shlex.split(cmd)
+            ]
+        else:
+            argv = shlex.split(cmd) + [in_path, out_path]
+        try:
+            subprocess.run(argv, check=True, capture_output=True,
+                           timeout=3600)
+            with open(out_path) as f:
+                out = _json.load(f)
+        except (OSError, subprocess.SubprocessError, ValueError) as e:
+            detail = getattr(e, "stderr", b"") or b""
+            log.warning("spice_cmd failed (%s)%s — reporting SPICE=None", e,
+                        f": {detail[-500:].decode(errors='replace')}"
+                        if detail else "")
+            return None
+    if isinstance(out, dict):
+        return float(out["SPICE"]) if "SPICE" in out else None
+    scores = [it["scores"]["All"]["f"] for it in out]
+    return float(np.mean(scores)) if scores else None
+
+
+def language_eval(cands, gts_list, stem_of=None, syn_of=None,
+                  spice_cmd: str | None = None,
+                  spice_items: list[dict] | None = None) -> dict:
     """COCOEvalCap-shaped metric dict over token ids
     (reference: src/captioning/eval_utils.py:49-57). ``stem_of``: optional
     token -> stem-class mapping (CocoData.word_stem_of) enabling METEOR's
-    stage-2 stem matcher; without it METEOR matches exact tokens only."""
+    stage-2 stem matcher; without it METEOR matches exact tokens only.
+    ``syn_of``: optional token -> synonym-class-set mapping
+    (CocoData.word_syn_of, from caption_options.meteor_synonyms) enabling
+    METEOR's stage-3 synonym matcher. ``spice_cmd`` + ``spice_items``
+    (string captions, see spice_external): score SPICE through an external
+    user-provided tool; SPICE is None when unset."""
     from .meteor import meteor_corpus
     from .scorer import IndexedCiderScorer
 
     bleus = corpus_bleu(cands, gts_list)
     cider = IndexedCiderScorer(gts_list, variant="cider")
     mean_cider, _ = cider.score(np.asarray(cands), np.arange(len(cands)))
+    spice = (spice_external(spice_cmd, spice_items)
+             if spice_cmd and spice_items is not None else None)
+    meteor_note = (
+        "Banerjee-Lavie 2005 with exact+stem+synonym matchers (synonym "
+        "classes from caption_options.meteor_synonyms); the reference's "
+        "Java METEOR-1.5 additionally uses a paraphrase table and "
+        "function-word weighting"
+        if syn_of is not None else
+        "Banerjee-Lavie 2005 (exact+stem matchers); the reference's Java "
+        "METEOR-1.5 adds WordNet synonym/paraphrase stages, absolute "
+        "values differ by a few points"
+    )
+    spice_note = (
+        "scored via the user-provided spice_cmd external tool"
+        if spice is not None else
+        "not computed (external Java scene-graph pipeline; absent from the "
+        "reference checkout as well). Provide caption_options.spice_cmd / "
+        "--spice_cmd to score through a local SPICE jar"
+    )
     return {
         "Bleu_1": bleus[0],
         "Bleu_2": bleus[1],
@@ -115,18 +197,9 @@ def language_eval(cands, gts_list, stem_of=None) -> dict:
         "Bleu_4": bleus[3],
         "ROUGE_L": rouge_l(cands, gts_list),
         "CIDEr": float(mean_cider),
-        # Banerjee-Lavie 2005 formulation (exact+stem matchers); the
-        # reference's Java METEOR-1.5 adds WordNet synonym/paraphrase stages
-        "METEOR": meteor_corpus(cands, gts_list, stem_of),
-        "SPICE": None,  # needs an external scene-graph parser; not reimplemented
+        "METEOR": meteor_corpus(cands, gts_list, stem_of, syn_of),
+        "SPICE": spice,
         # caveats ride along with every score presentation (README metrics
         # table states the same)
-        "metric_notes": {
-            "METEOR": "Banerjee-Lavie 2005 (exact+stem matchers); the "
-                      "reference's Java METEOR-1.5 adds WordNet "
-                      "synonym/paraphrase stages, absolute values differ "
-                      "by a few points",
-            "SPICE": "not computed (external Java scene-graph pipeline; "
-                     "absent from the reference checkout as well)",
-        },
+        "metric_notes": {"METEOR": meteor_note, "SPICE": spice_note},
     }

@@ -13,10 +13,13 @@ implements the original, fully-specified METEOR formulation instead:
     score = Fmean * (1 - penalty),   best over the image's references
 
 where ``m`` counts aligned unigrams (stage 1 exact, stage 2 Porter stems on
-the remainder) and ``chunks`` counts maximal runs of the alignment that are
-contiguous in both sentences. Absolute values differ from METEOR-1.5 by a
-few points (no synonym stage); the ranking signal is the same. Documented as
-a deliberate deviation in README.md.
+the remainder, optional stage 3 synonym classes from a user-supplied table —
+``load_synonym_table`` / caption_options.meteor_synonyms) and ``chunks``
+counts maximal runs of the alignment that are contiguous in both sentences.
+Without synonym data, absolute values differ from METEOR-1.5 by a few
+points; with a WordNet-derived table the synonym stage restores that
+matcher. The paraphrase-table stage and function-word weighting remain
+out of scope. Documented as a deliberate deviation in README.md.
 
 The Porter stemmer below is the 1980 algorithm as published (An algorithm
 for suffix stripping, M.F. Porter), verified against the paper's examples in
@@ -27,7 +30,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["porter_stem", "meteor", "meteor_corpus"]
+__all__ = ["porter_stem", "meteor", "meteor_corpus", "load_synonym_table"]
 
 
 # ---- Porter stemmer ---------------------------------------------------------------
@@ -178,22 +181,28 @@ def porter_stem(word: str) -> str:
 # ---- METEOR alignment + score ------------------------------------------------------
 
 
-def _align(hyp: list, ref: list, stem_of=None) -> list[tuple[int, int]]:
-    """Two-stage unigram alignment: exact tokens, then stems over the
-    residue. Within a stage each hypothesis position (left to right) takes
-    the nearest unmatched reference position — the standard greedy
-    approximation of METEOR's fewest-crossings tie-break."""
+def _align(hyp: list, ref: list, stem_of=None,
+           syn_of=None) -> list[tuple[int, int]]:
+    """Matcher-cascade unigram alignment: exact tokens, then stems, then
+    synonyms over the residue (the METEOR-1.5 cascade order minus the
+    paraphrase table). Within a stage each hypothesis position (left to
+    right) takes the nearest unmatched reference position — the standard
+    greedy approximation of METEOR's fewest-crossings tie-break.
+
+    ``syn_of``: token -> set of synonym-class ids (e.g. WordNet synsets);
+    two tokens match when their class sets intersect — a word belongs to
+    several synsets, so class equality would be too strict."""
     matched_r = [False] * len(ref)
     pairs: list[tuple[int, int]] = []
     matched_h = [False] * len(hyp)
 
-    def stage(key_h, key_r):
+    def stage(key_h, key_r, hit):
         for i, kh in enumerate(key_h):
             if matched_h[i]:
                 continue
             best, best_d = -1, None
             for j, kr in enumerate(key_r):
-                if matched_r[j] or kr != kh:
+                if matched_r[j] or not hit(kh, kr):
                     continue
                 d = abs(i - j)
                 if best_d is None or d < best_d:
@@ -203,9 +212,13 @@ def _align(hyp: list, ref: list, stem_of=None) -> list[tuple[int, int]]:
                 matched_r[best] = True
                 pairs.append((i, best))
 
-    stage(hyp, ref)
+    eq = lambda a, b: a == b  # noqa: E731
+    stage(hyp, ref, eq)
     if stem_of is not None:
-        stage([stem_of(t) for t in hyp], [stem_of(t) for t in ref])
+        stage([stem_of(t) for t in hyp], [stem_of(t) for t in ref], eq)
+    if syn_of is not None:
+        stage([syn_of(t) for t in hyp], [syn_of(t) for t in ref],
+              lambda a, b: bool(a and b and (a & b)))
     return sorted(pairs)
 
 
@@ -221,19 +234,22 @@ def _chunks(pairs: list[tuple[int, int]]) -> int:
     return n
 
 
-def meteor(hyp, refs, stem_of=None) -> float:
+def meteor(hyp, refs, stem_of=None, syn_of=None) -> float:
     """METEOR score of one hypothesis against its references (best ref).
 
     hyp: token sequence; refs: list of token sequences. Tokens may be ints
     (word ids) or strings. ``stem_of``: optional token -> stem-class mapping
-    enabling the stage-2 stem matcher."""
+    enabling the stage-2 stem matcher. ``syn_of``: optional token ->
+    synonym-class-id set enabling the stage-3 synonym matcher (the
+    reference METEOR-1.5's WordNet stage, given user-supplied synonym data —
+    caption_options.meteor_synonyms)."""
     hyp = list(hyp)
     best = 0.0
     for ref in refs:
         ref = list(ref)
         if not hyp or not ref:
             continue
-        pairs = _align(hyp, ref, stem_of)
+        pairs = _align(hyp, ref, stem_of, syn_of)
         m = len(pairs)
         if m == 0:
             continue
@@ -254,12 +270,42 @@ def _strip_eos(row) -> list:
     return out
 
 
-def meteor_corpus(cands, gts_list, stem_of=None) -> float:
+def meteor_corpus(cands, gts_list, stem_of=None, syn_of=None) -> float:
     """Mean METEOR over (candidate row, reference rows) pairs of int token
     rows (0-terminated, the framework's caption layout)."""
     scores = [
         meteor(_strip_eos(c), [_strip_eos(r) for r in np.asarray(refs)],
-               stem_of)
+               stem_of, syn_of)
         for c, refs in zip(cands, gts_list)
     ]
     return float(np.mean(scores)) if scores else 0.0
+
+
+def load_synonym_table(path: str) -> dict[str, frozenset]:
+    """User-supplied synonym data -> word -> synonym-class-id set.
+
+    Accepted JSON formats (chosen so a WordNet dump is a trivial export):
+      * a list of synonym groups: ``[["car","auto"], ["kid","child"]]``
+        (group index = class id);
+      * a dict word -> class id(s): ``{"car": [3, 7], "auto": 3}``.
+    Words are lowercased. A word may belong to several classes; METEOR's
+    synonym matcher fires on any shared class."""
+    import json
+
+    with open(path) as f:
+        spec = json.load(f)
+    table: dict[str, set] = {}
+    if isinstance(spec, list):
+        for gid, group in enumerate(spec):
+            for w in group:
+                table.setdefault(str(w).lower(), set()).add(gid)
+    elif isinstance(spec, dict):
+        for w, gids in spec.items():
+            ids = gids if isinstance(gids, (list, tuple)) else [gids]
+            table.setdefault(str(w).lower(), set()).update(int(g) for g in ids)
+    else:
+        raise ValueError(
+            f"synonym table {path}: expected a JSON list of groups or a "
+            f"word->class dict, got {type(spec).__name__}"
+        )
+    return {w: frozenset(s) for w, s in table.items()}

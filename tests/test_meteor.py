@@ -110,3 +110,92 @@ def test_language_eval_reports_meteor():
     )
     assert isinstance(out["METEOR"], float) and out["METEOR"] > 0.9
     assert out["SPICE"] is None
+
+
+# ---- synonym matcher (METEOR-1.5's WordNet stage, user-supplied data) --------
+
+
+def test_meteor_synonym_matcher():
+    # exact + stem stages miss; the synonym stage aligns car~automobile
+    syn = {"car": frozenset({1}), "automobile": frozenset({1, 2}),
+           "cat": frozenset({5})}
+    syn_of = syn.get
+    assert meteor(["car"], [["automobile"]], stem_of=porter_stem) == 0.0
+    s = meteor(["car"], [["automobile"]], stem_of=porter_stem, syn_of=syn_of)
+    assert s == pytest.approx(1.0 * (1.0 - 0.5))  # m=1, chunks=1
+    # class sets must INTERSECT, not merely exist on both sides
+    assert meteor(["car"], [["cat"]], syn_of=syn_of) == 0.0
+    # unknown words (syn_of -> None) never match at the synonym stage
+    assert meteor(["dog"], [["car"]], syn_of=syn_of) == 0.0
+
+
+def test_meteor_synonym_stage_runs_after_exact_and_stem():
+    # 'run' matches 'running' at the stem stage; the remaining 'car' only
+    # matches 'auto' at the synonym stage. m=2 of 2, chunks=2 (non-adjacent
+    # in the reference order).
+    syn = {"car": frozenset({1}), "auto": frozenset({1})}
+    s = meteor(["running", "car"], [["auto", "run"]],
+               stem_of=porter_stem, syn_of=syn.get)
+    # P=1, R=1, Fmean=1; chunks=2, m=2 -> penalty = 0.5 * 1 = 0.5
+    assert s == pytest.approx(0.5)
+
+
+def test_load_synonym_table_formats(tmp_path):
+    import json
+
+    from nes_img_captioning_tpu.fitness.meteor import load_synonym_table
+
+    groups = tmp_path / "groups.json"
+    groups.write_text(json.dumps([["Car", "auto"], ["kid", "child", "car"]]))
+    t = load_synonym_table(str(groups))
+    assert t["car"] == frozenset({0, 1})  # lowercased, multi-group
+    assert t["auto"] == frozenset({0})
+    assert t["child"] == frozenset({1})
+
+    mapping = tmp_path / "map.json"
+    mapping.write_text(json.dumps({"car": [3, 7], "auto": 3}))
+    t = load_synonym_table(str(mapping))
+    assert t["car"] == frozenset({3, 7})
+    assert t["auto"] == frozenset({3})
+
+    bad = tmp_path / "bad.json"
+    bad.write_text('"just a string"')
+    with pytest.raises(ValueError):
+        load_synonym_table(str(bad))
+
+
+def test_coco_word_syn_of_from_caption_options(tmp_path):
+    """caption_options.meteor_synonyms wires the table through CocoData into
+    word-id space (the id space language_eval scores in)."""
+    import json
+
+    from nes_img_captioning_tpu.data.mscoco import CocoData
+    from nes_img_captioning_tpu.data.synthetic import make_synthetic_coco
+
+    copts = make_synthetic_coco(str(tmp_path / "d"), n_train=24, n_val=8,
+                                n_test=8, vocab_size=20, fc_feat_size=16)
+    info = json.load(open(copts["input_json"]))
+    w1, w2, w3 = (info["ix_to_word"][k] for k in ("1", "2", "3"))
+    syn_path = tmp_path / "syn.json"
+    syn_path.write_text(json.dumps([[w1, w2]]))
+
+    data = CocoData(dict(copts, meteor_synonyms=str(syn_path)))
+    assert data.has_synonym_table()
+    wid = lambda t: int(data.word_id_rows(np.asarray([t]))[0])  # noqa: E731
+    assert data.word_syn_of(wid(1)) == frozenset({0})
+    assert data.word_syn_of(wid(1)) & data.word_syn_of(wid(2))
+    assert data.word_syn_of(wid(3)) is None
+
+    # without the option the matcher stays off
+    data2 = CocoData(copts)
+    assert not data2.has_synonym_table()
+    assert data2.word_syn_of(wid(1)) is None
+
+    # end to end: synonym words align in language_eval's METEOR
+    rows = lambda t: np.asarray([[t, 0, 0, 0]])  # noqa: E731
+    out = language_eval(
+        data.word_id_rows(rows(1)), [data.word_id_rows(rows(2))],
+        stem_of=data.word_stem_of, syn_of=data.word_syn_of,
+    )
+    assert out["METEOR"] > 0.0
+    assert "synonym" in out["metric_notes"]["METEOR"]

@@ -244,7 +244,8 @@ def test_two_process_coco_nes_val_fused_blocks(tmp_path):
     assert os.path.isfile(elite_path) and str(run_dir) in elite_path
     _load_state_dict_finite(elite_path)
     vals = [float(v) for v in _stat_lines(outs[0], "EliteAcc")]
-    assert abs(elite_score - max(vals)) < 1e-5, (elite_score, vals)
+    # the stat table prints 4 significant digits; compare at that precision
+    assert abs(elite_score - max(vals)) < 1e-3, (elite_score, vals)
 
 
 @pytest.mark.slow

@@ -127,8 +127,11 @@ def main():
     mesh = make_mesh() if n_chips > 1 else None
     # rbg PRNG (tpu.rng_impl knob): ~2.5x faster noise streams on TPU; the
     # noise is regenerated twice per generation so this is on the hot path
+    # pop_chunk=24 is the measured optimum under the in-kernel pair
+    # perturbation (kernel_perturb auto-on here): 55.9 ms/gen vs 57.5 at 48,
+    # 68.9 at 12 (docs/RESULTS.md, r4 sweep)
     engine = NESEngine(task, Adam(0.001), MutationKind.DEFAULT,
-                       mesh=mesh, pop_chunk=48, rng_impl="rbg")
+                       mesh=mesh, pop_chunk=24, rng_impl="rbg")
 
     F = POP // 2
     rng = np.random.default_rng(0)

@@ -65,7 +65,8 @@ class NESEngine(PopulationEngine):
                  sens_precision: str = "float32",
                  sens_batch: int = 0,
                  sens_probes: int = 0,
-                 inline_sens: bool | None = None):
+                 inline_sens: bool | None = None,
+                 kernel_perturb: object = "auto"):
         super().__init__(task, mesh=mesh, pop_chunk=pop_chunk,
                          rng_impl=rng_impl)
         self.optimizer = optimizer
@@ -110,6 +111,26 @@ class NESEngine(PopulationEngine):
             getattr(task, "decode_layout", None)
             if task.fitness_on_device else None
         )
+        # in-kernel pair perturbation (tpu.kernel_perturb): the fused
+        # generation's pair fn becomes ONE kernel call decoding both signs
+        # with base + sign*delta applied in-kernel — no perturbed parameter
+        # vector in HBM. Bitwise-equal tokens (tests/test_decode_pallas.py);
+        # the gradient phase regenerates the identical delta from the seed
+        # exactly as before, so the seed-replay contract is untouched.
+        supported = (
+            self._layout is not None
+            and getattr(task, "supports_pair_perturb", False)
+        )
+        if kernel_perturb == "auto":
+            self._kernel_perturb = supported
+        else:
+            self._kernel_perturb = bool(kernel_perturb) and supported
+            if kernel_perturb is True and not supported:
+                logger.warning(
+                    "tpu.kernel_perturb=true but the task does not support "
+                    "the pair kernel (needs fused decode + decode layout + "
+                    "device scoring + a greedy fitness kind + untiled "
+                    "logits); using the per-member path")
 
     # deltas kept as an eval output (skipping their regeneration in the
     # update) while the (F, dim) matrix fits comfortably in HBM
@@ -283,14 +304,25 @@ class NESEngine(PopulationEngine):
                 v, i, key=key, consts=consts)
             finish_grad = lay.from_dec
 
-        def pair(seed, idx_i):
-            delta = delta_of(seed)
-            base = self._mk_key(seed)
-            pos = self._fitness_of(rollout(
-                base_vec + delta, idx_i, key=jax.random.fold_in(base, 1)))
-            neg = self._fitness_of(rollout(
-                base_vec - delta, idx_i, key=jax.random.fold_in(base, 2)))
-            return jnp.stack([pos, neg])
+        if lay is not None and self._kernel_perturb:
+            # both signs in one kernel call, perturbation applied in-kernel
+            # (greedy kinds only — no decode key to thread); base params
+            # prepped ONCE per generation instead of per rollout
+            base_params = self.task.pair_base_params(base_vec)
+
+            def pair(seed, idx_i):
+                return self.task.rollout_pair_dec(
+                    base_params, delta_of(seed), idx_i, consts=consts
+                )
+        else:
+            def pair(seed, idx_i):
+                delta = delta_of(seed)
+                base = self._mk_key(seed)
+                pos = self._fitness_of(rollout(
+                    base_vec + delta, idx_i, key=jax.random.fold_in(base, 1)))
+                neg = self._fitness_of(rollout(
+                    base_vec - delta, idx_i, key=jax.random.fold_in(base, 2)))
+                return jnp.stack([pos, neg])
 
         fits = jax.lax.map(
             lambda xs: jax.vmap(pair)(*xs), (seeds, idx)
@@ -613,6 +645,7 @@ class NESMaster:
             sens_precision=self.tpu_cfg.sensitivity_precision,
             sens_batch=self.tpu_cfg.sensitivity_batch,
             sens_probes=self.tpu_cfg.sensitivity_probes,
+            kernel_perturb=getattr(self.tpu_cfg, "kernel_perturb", "auto"),
         )
         self._init_multihost_placement()
 

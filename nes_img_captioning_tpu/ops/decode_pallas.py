@@ -37,8 +37,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["decode_fused", "greedy_decode_fused", "prepare_decode_params",
-           "pad_vocab"]
+__all__ = ["decode_fused", "decode_pair_perturb", "greedy_decode_fused",
+           "prepare_decode_params", "pad_vocab"]
 
 PAD_LANE = 128
 NEG = -1e9
@@ -48,13 +48,16 @@ def pad_vocab(v1: int) -> int:
     return ((v1 + PAD_LANE - 1) // PAD_LANE) * PAD_LANE
 
 
-def _kernel(seed_ref, feats_ref, img_w_ref, img_b_ref, i2h_w_ref, i2h_b_ref,
-            h2h_w_ref, h2h_b_ref, logit_w_ref, logit_b_ref, embed_ref,
-            gumbel_ref,
-            seq_ref, lp_ref, h_ref, c_ref, tok_ref, unfin_ref, alive_ref,
-            xt_ref=None,
-            *, seq_length: int, rnn_size: int, greedy: bool,
-            host_rng: bool, need_logprobs: bool, vocab_tile: int = 0):
+def _decode_core(seed_ref, feats_ref, img_w_ref, img_b_ref, i2h_w_ref,
+                 i2h_b_ref, h2h_w_ref, h2h_b_ref, logit_w_ref, logit_b_ref,
+                 embed_ref, gumbel_ref,
+                 seq_ref, lp_ref, h_ref, c_ref, tok_ref, unfin_ref, alive_ref,
+                 xt_ref=None,
+                 *, seq_length: int, rnn_size: int, greedy: bool,
+                 host_rng: bool, need_logprobs: bool, vocab_tile: int = 0):
+    """The decode loop proper, parameterized over the weight REFS — inputs
+    for the standard kernel, scratch for the perturbing pair kernel (which
+    writes base + sign*delta into scratch, then runs this twice)."""
     R = rnn_size
     f32 = jnp.float32
 
@@ -233,6 +236,118 @@ def _kernel(seed_ref, feats_ref, img_w_ref, img_b_ref, i2h_w_ref, i2h_b_ref,
         return 0
 
     jax.lax.fori_loop(0, seq_length, step, 0)
+
+
+# the standard kernel: weights arrive as inputs
+_kernel = _decode_core
+
+
+_PAIR_TENSORS = ("img_w", "img_b", "i2h_w", "i2h_b", "h2h_w", "h2h_b",
+                 "logit_w", "logit_b", "embed")
+_PAIR_BIASES = {"img_b", "i2h_b", "h2h_b", "logit_b"}
+
+
+def _pair_kernel(seed_ref, feats_ref,
+                 # 9 base-weight refs (f32) then 9 delta refs (f32)
+                 b_img_w, b_img_b, b_i2h_w, b_i2h_b, b_h2h_w, b_h2h_b,
+                 b_logit_w, b_logit_b, b_embed,
+                 d_img_w, d_img_b, d_i2h_w, d_i2h_b, d_h2h_w, d_h2h_b,
+                 d_logit_w, d_logit_b, d_embed,
+                 gumbel_ref,
+                 seq_pos_ref, lp_pos_ref, seq_neg_ref, lp_neg_ref,
+                 # perturbed-weight scratch (kernel dtype; biases f32)
+                 p_img_w, p_img_b, p_i2h_w, p_i2h_b, p_h2h_w, p_h2h_b,
+                 p_logit_w, p_logit_b, p_embed,
+                 h_ref, c_ref, tok_ref, unfin_ref, alive_ref,
+                 *, seq_length: int, rnn_size: int, need_logprobs: bool):
+    """Antithetic-pair greedy decode with IN-KERNEL perturbation: the base
+    weights and the pair's delta arrive ONCE (f32), the kernel materializes
+    base + sign*delta into VMEM scratch (cast to the compute dtype — the
+    exact arithmetic of DecodeLayout.prep on base_vec ± delta) and decodes
+    both signs without ever writing a perturbed parameter vector to HBM.
+    Replaces, per pair: two (dim)-sized perturbed-vector materializations +
+    their cast copies crossing XLA fusion boundaries at the chunk-map edges
+    (docs/RESULTS.md, device budget)."""
+    base = (b_img_w, b_img_b, b_i2h_w, b_i2h_b, b_h2h_w, b_h2h_b,
+            b_logit_w, b_logit_b, b_embed)
+    delta = (d_img_w, d_img_b, d_i2h_w, d_i2h_b, d_h2h_w, d_h2h_b,
+             d_logit_w, d_logit_b, d_embed)
+    pert = (p_img_w, p_img_b, p_i2h_w, p_i2h_b, p_h2h_w, p_h2h_b,
+            p_logit_w, p_logit_b, p_embed)
+
+    for sign, seq_ref, lp_ref in ((1.0, seq_pos_ref, lp_pos_ref),
+                                  (-1.0, seq_neg_ref, lp_neg_ref)):
+        for p, b, d in zip(pert, base, delta):
+            p[:] = (b[:] + sign * d[:]).astype(p.dtype)
+        _decode_core(
+            seed_ref, feats_ref, *pert, gumbel_ref,
+            seq_ref, lp_ref, h_ref, c_ref, tok_ref, unfin_ref, alive_ref,
+            seq_length=seq_length, rnn_size=rnn_size, greedy=True,
+            host_rng=False, need_logprobs=need_logprobs,
+        )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("seq_length", "dtype", "interpret", "need_logprobs"),
+)
+def decode_pair_perturb(base: dict, delta: dict, feats,
+                        seq_length: int = 16, dtype=jnp.float32,
+                        interpret: bool = False,
+                        need_logprobs: bool = False):
+    """Greedy-decode BOTH rollouts of one antithetic pair with the
+    perturbation applied inside the kernel.
+
+    base / delta: f32 dicts in prepare_decode_params' layout (same shapes;
+    delta's logit_b pad lanes must be 0 so the padded bias stays at NEG —
+    DecodeLayout's pad_scale=0 noise-scale guarantees this). ``dtype`` is
+    the compute dtype of the perturbed weights: tokens are bitwise-equal to
+    ``decode_fused(prep(base ± delta))`` because the perturbed weights are
+    the same f32 sum rounded to the same dtype (tested). Returns
+    (seq (2, B, T) int32, lp (2, B, T) f32) — index 0 = +delta, 1 = -delta.
+    """
+    B = feats.shape[0]
+    R = base["h2h_w"].shape[0]
+    Vpad = base["embed"].shape[0]
+    kernel = functools.partial(
+        _pair_kernel, seq_length=seq_length, rnn_size=R,
+        need_logprobs=need_logprobs,
+    )
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    f32 = jnp.float32
+    out = jax.ShapeDtypeStruct
+    operands = [jnp.asarray(base[k], f32) for k in _PAIR_TENSORS] + \
+               [jnp.asarray(delta[k], f32) for k in _PAIR_TENSORS]
+    seq_p, lp_p, seq_n, lp_n = pl.pallas_call(
+        kernel,
+        out_shape=(
+            out((seq_length, B), jnp.int32), out((seq_length, B), f32),
+            out((seq_length, B), jnp.int32), out((seq_length, B), f32),
+        ),
+        in_specs=[vmem] * (2 + 18 + 1),
+        out_specs=(vmem,) * 4,
+        scratch_shapes=[
+            pltpu.VMEM(base[k].shape,
+                       f32 if k in _PAIR_BIASES else dtype)
+            for k in _PAIR_TENSORS
+        ] + [
+            pltpu.VMEM((B, R), f32),            # h
+            pltpu.VMEM((B, R), f32),            # c
+            pltpu.VMEM((B, 1), jnp.int32),      # current token
+            pltpu.VMEM((B, 1), jnp.int32),      # per-row unfinished mask
+            pltpu.SMEM((1,), jnp.int32),        # batch-wide alive flag
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        jnp.zeros((1, 128), jnp.int32),         # seed placeholder (greedy)
+        feats.astype(dtype),
+        *operands,
+        jnp.zeros((1, 1, Vpad), f32),           # gumbel placeholder
+    )
+    return (jnp.stack([seq_p.T, seq_n.T]), jnp.stack([lp_p.T, lp_n.T]))
 
 
 @functools.partial(

@@ -297,6 +297,52 @@ class CocoTask(Task):
             )
         return art
 
+    @property
+    def supports_pair_perturb(self) -> bool:
+        """Gate for the in-kernel-perturbation pair rollout
+        (tpu.kernel_perturb): needs the fused kernel + decode layout +
+        on-device scoring, a greedy fitness kind (sampling kinds draw
+        per-lane decode seeds the pair kernel does not thread), and the
+        untiled logit pass."""
+        return (
+            self._fused
+            and self.decode_layout is not None
+            and self._device_cider is not None
+            and self.fitness_kind in GREEDY_KINDS
+            and not self._vocab_tile
+        )
+
+    def pair_base_params(self, base_dec) -> dict:
+        """Decode-ordered flat base theta -> f32 params dict for
+        decode_pair_perturb — computed ONCE per generation (member-
+        independent), where the per-member path pays a prep per rollout."""
+        return self.decode_layout.prep(base_dec, jnp.float32)
+
+    def rollout_pair_dec(self, base_params: dict, delta_dec, idx,
+                         consts=None):
+        """Both rollouts of one antithetic pair in ONE kernel call with the
+        perturbation applied in-kernel (ops/decode_pallas.py:_pair_kernel):
+        no perturbed parameter vector ever materializes in HBM. Token-exact
+        vs rollout_dec(base_vec ± delta) (tested). Returns the (2,) [pos,
+        neg] fitness vector."""
+        from ..ops.decode_pallas import decode_pair_perturb
+
+        train_fc = self.train_fc if consts is None else consts["train_fc"]
+        cdev = None if consts is None else consts.get("cider")
+        feats = train_fc[idx]
+        need_lp = self.fitness_kind in FITNESS_CRITERIA
+        seq2, lp2 = decode_pair_perturb(
+            base_params, self.decode_layout.prep(delta_dec, jnp.float32),
+            feats, seq_length=self.model.options.seq_length,
+            dtype=self._decode_dtype, interpret=self._fused_interpret,
+            need_logprobs=need_lp,
+        )
+        return jnp.stack([
+            self._device_fitness(None, feats, idx, seq2[s],
+                                 lp=lp2[s] if need_lp else None, dev=cdev)
+            for s in range(2)
+        ])
+
     def rollout_dec(self, vec_dec, idx, key=None, consts=None):
         """Rollout on a decode-ordered member vector (the NES engine's
         layout fast path, ops/decode_layout.py): the per-member prep is

@@ -132,6 +132,16 @@ class TpuConfig:
     # replayed from the same lineage either way, equal up to FMA
     # contraction).
     es_decode_layout: object = "auto"
+    # in-kernel pair perturbation (NES fused path, greedy fitness kinds):
+    # one kernel call decodes BOTH rollouts of an antithetic pair, applying
+    # base + sign*delta to the weights inside the kernel — the perturbed
+    # parameter vectors never materialize in HBM (they were the ~6 ms of
+    # XLA boundary copies at the chunk-map edges, docs/RESULTS.md). Tokens
+    # are bitwise-equal to the per-member path (same f32 sum, same cast,
+    # same kernel ops; tested). "auto" = on whenever the task supports it
+    # (fused kernel + decode layout + device scoring + greedy kind +
+    # untiled logits); True forces (warns if unsupported); False = off.
+    kernel_perturb: object = "auto"
     # PRNG used for on-device noise/init streams: "" = jax default
     # (threefry2x32); "rbg" trades cross-backend stream identity for ~2.5x
     # faster generation on TPU (noise is regenerated twice per generation,
@@ -174,7 +184,8 @@ def parse_tpu_config(exp: dict) -> TpuConfig:
         raise ValueError(
             f"tpu.sensitivity_probes={cfg['sensitivity_probes']!r}: "
             "expected 0 (exact) or a positive probe count")
-    for knob in ("fused_es", "fused_validation", "es_decode_layout"):
+    for knob in ("fused_es", "fused_validation", "es_decode_layout",
+                 "kernel_perturb"):
         # the gates test `want is not False`, so near-miss spellings like
         # 0 or "false" would silently leave the fused paths ON — reject them
         # (identity checks: `0 in (True, False)` would be truthy)

@@ -34,6 +34,10 @@ def main():
     ap.add_argument("--gens-per-dispatch", type=int, default=4)
     ap.add_argument("--timed", type=int, default=6)
     ap.add_argument("--pop-chunk", type=int, default=48)
+    ap.add_argument("--kernel-perturb", default="auto",
+                    choices=["auto", "true", "false"],
+                    help="tpu.kernel_perturb A/B: in-kernel pair "
+                    "perturbation vs per-member perturbed vectors")
     ap.add_argument("--data", default="/tmp/nes_bench_data")
     args = ap.parse_args()
 
@@ -74,8 +78,11 @@ def main():
     task = CocoTask(exp, Config(batch_size=args.batch),
                     TpuConfig(seed=0, precision="bf16"))
     assert task.fitness_on_device
+    kp = {"auto": "auto", "true": True, "false": False}[args.kernel_perturb]
     engine = NESEngine(task, Adam(0.001), MutationKind.DEFAULT,
-                       pop_chunk=args.pop_chunk, rng_impl="rbg")
+                       pop_chunk=args.pop_chunk, rng_impl="rbg",
+                       kernel_perturb=kp)
+    log(f"kernel_perturb: {engine._kernel_perturb}")
 
     F, B, GPD = args.pairs, args.batch, args.gens_per_dispatch
     rng = np.random.default_rng(0)

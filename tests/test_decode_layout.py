@@ -263,3 +263,37 @@ def test_rollout_dec_covers_all_device_kinds(tmp_path, kind):
         jax.jit(task.rollout_dec)(vec_dec, idx, key=key)["fitness"])
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
     assert np.isfinite(got)
+
+
+@pytest.mark.slow
+def test_kernel_perturb_generation_identical(coco_task):
+    """tpu.kernel_perturb (in-kernel pair perturbation) is a pure execution
+    optimization: the fused generation's packed output and updated theta
+    must be BITWISE-identical to the per-member perturbed-vector path in
+    f32 interpret mode — same f32 sum, same cast, same kernel ops."""
+    from nes_img_captioning_tpu.algorithms.nes import NESEngine
+    from nes_img_captioning_tpu.algorithms.optimizers import Adam
+    from nes_img_captioning_tpu.ops.mutation import MutationKind
+
+    task = coco_task
+    assert task.supports_pair_perturb
+    theta = task.generate_theta(jax.random.PRNGKey(6))
+    rng = np.random.default_rng(8)
+    F, B = 4, 4
+    seeds = rng.integers(0, 2**32, size=F, dtype=np.uint32)
+    idx = rng.integers(0, 12, size=(F, B)).astype(np.int32)
+
+    outs = {}
+    for kp in (True, False):
+        eng = NESEngine(task, Adam(0.01), MutationKind.DEFAULT, pop_chunk=2,
+                        kernel_perturb=kp)
+        assert eng._kernel_perturb is kp
+        sens = jnp.ones((eng.dim,), jnp.float32)
+        th, _, packed = eng.generation(
+            theta, eng.optimizer.init(eng.dim), sens, 0.05, seeds, idx,
+            0.01, 1e-3,
+        )
+        outs[kp] = (np.asarray(th), np.asarray(packed))
+
+    np.testing.assert_array_equal(outs[True][1], outs[False][1])
+    np.testing.assert_array_equal(outs[True][0], outs[False][0])

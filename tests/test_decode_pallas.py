@@ -130,3 +130,74 @@ def test_streamed_vocab_tiles_token_exact(vocab_tile):
     seq_t2, _ = decode_fused(params, feats, interpret=True,
                              vocab_tile=vocab_tile, need_logprobs=False)
     np.testing.assert_array_equal(np.asarray(seq_t2), np.asarray(seq_u))
+
+
+def test_pair_perturb_kernel_matches_per_member(tmp_path):
+    """decode_pair_perturb(base, delta) must decode exactly what
+    decode_fused(prep(base_vec + delta)) / (base_vec - delta) decode: the
+    in-kernel perturbation is the same f32 sum rounded to the same dtype —
+    tokens bitwise-equal, logprobs to f32 tolerance."""
+    from nes_img_captioning_tpu.ops.decode_layout import DecodeLayout
+    from nes_img_captioning_tpu.ops.decode_pallas import decode_pair_perturb
+
+    opts = FCModelOptions(vocab_size=50, fc_feat_size=32,
+                          input_encoding_size=16, rnn_size=16)
+    m = FCCaptionModel(opts)
+    lay = DecodeLayout(m.spec, opts)
+    theta = m.spec.init_theta(jax.random.PRNGKey(3))
+    base_vec = lay.to_dec(theta)
+    # a noise-shaped delta: zero on the pad lanes, like the engine's
+    # scale_dec (pad_scale=0) guarantees
+    scale = lay.to_dec(jnp.full((m.spec.num_params,), 0.05, jnp.float32),
+                       pad_scale=0.0)
+    delta = scale * jax.random.normal(jax.random.PRNGKey(9),
+                                      (lay.dim_dec,), jnp.float32)
+    feats = jnp.asarray(
+        np.random.default_rng(1).normal(size=(8, 32)).astype(np.float32)
+    )
+
+    seq2, lp2 = decode_pair_perturb(
+        lay.prep(base_vec, jnp.float32), lay.prep(delta, jnp.float32),
+        feats, interpret=True, need_logprobs=True,
+    )
+    for s, sign in ((0, 1.0), (1, -1.0)):
+        from nes_img_captioning_tpu.ops.decode_pallas import decode_fused
+
+        ref_seq, ref_lp = decode_fused(
+            lay.prep(base_vec + sign * delta, jnp.float32), feats,
+            interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(seq2[s]),
+                                      np.asarray(ref_seq),
+                                      err_msg=f"sign {sign} tokens")
+        np.testing.assert_allclose(np.asarray(lp2[s]), np.asarray(ref_lp),
+                                   atol=2e-5, err_msg=f"sign {sign} lp")
+    # pos and neg genuinely differ (the perturbation was applied)
+    assert not np.array_equal(np.asarray(seq2[0]), np.asarray(seq2[1]))
+
+
+def test_pair_perturb_pad_lanes_never_selected():
+    """The delta's pad lanes are zero (engine contract), so the padded
+    logit bias stays at NEG through the in-kernel perturbation and pad
+    tokens can never win the argmax."""
+    from nes_img_captioning_tpu.ops.decode_layout import DecodeLayout
+    from nes_img_captioning_tpu.ops.decode_pallas import decode_pair_perturb
+
+    opts = FCModelOptions(vocab_size=50, fc_feat_size=16,
+                          input_encoding_size=8, rnn_size=8)
+    m = FCCaptionModel(opts)
+    lay = DecodeLayout(m.spec, opts)
+    theta = m.spec.init_theta(jax.random.PRNGKey(0))
+    base_vec = lay.to_dec(theta)
+    scale = lay.to_dec(jnp.full((m.spec.num_params,), 1.0, jnp.float32),
+                       pad_scale=0.0)  # huge noise, but zero on pads
+    delta = scale * jax.random.normal(jax.random.PRNGKey(4),
+                                      (lay.dim_dec,), jnp.float32)
+    feats = jnp.asarray(
+        np.random.default_rng(7).normal(size=(4, 16)).astype(np.float32)
+    )
+    seq2, _ = decode_pair_perturb(
+        lay.prep(base_vec, jnp.float32), lay.prep(delta, jnp.float32),
+        feats, interpret=True,
+    )
+    assert int(np.asarray(seq2).max()) <= opts.vocab_size

@@ -189,6 +189,39 @@ class CocoData:
     def has_synonym_table(self) -> bool:
         return bool(self.opts.get("meteor_synonyms"))
 
+    def paraphrase_table(self):
+        """Word-id-space ParaphraseTable (or None) for METEOR's optional
+        stage-4 phrase matcher, from a user-supplied table
+        (``caption_options.meteor_paraphrases`` — a JSON path, see
+        fitness/meteor.load_paraphrase_table). Phrases containing
+        out-of-vocab words are dropped (they can never appear in a decoded
+        or reference caption); string phrases that collapse to the same
+        word-id tuple merge their class sets. Restores the reference Java
+        METEOR-1.5's paraphrase stage given equivalent data (reference:
+        src/captioning/eval_utils.py:30-57)."""
+        if not hasattr(self, "_para_table"):
+            path = self.opts.get("meteor_paraphrases")
+            if not path:
+                self._para_table = None
+            else:
+                from ..fitness.meteor import (
+                    ParaphraseTable,
+                    load_paraphrase_table,
+                )
+
+                ptab = load_paraphrase_table(path)
+                wid_of: dict[str, int] = {}
+                for t in range(1, self.vocab_size + 1):
+                    wid = int(self.word_id_rows(np.asarray([t]))[0])
+                    wid_of.setdefault(self.ix_to_word[str(t)].lower(), wid)
+                table: dict[tuple, frozenset] = {}
+                for phrase, cls in ptab.table.items():
+                    ids = tuple(wid_of.get(w, 0) for w in phrase)
+                    if 0 not in ids:
+                        table[ids] = table.get(ids, frozenset()) | cls
+                self._para_table = ParaphraseTable(table)
+        return self._para_table
+
     def split_gts_words(self, split: str) -> list:
         """Per-image reference captions as word-id rows (for word-level
         validation scoring)."""

@@ -76,6 +76,7 @@ def evaluate_checkpoints(models: dict[str, str], caption_options: dict,
             [data.word_id_rows(g) for g in gts[:n]],
             stem_of=data.word_stem_of,
             syn_of=data.word_syn_of if data.has_synonym_table() else None,
+            para=data.paraphrase_table(),
             spice_cmd=spice_cmd, spice_items=spice_items,
         )
         logger.info("%s: %s", name, stats)
@@ -119,6 +120,11 @@ def run(argv=None):
                         "map) enabling METEOR's synonym matcher — restores "
                         "the reference Java METEOR-1.5 WordNet stage given "
                         "equivalent data")
+    parser.add_argument("--meteor_paraphrases", type=str, default=None,
+                        help="JSON paraphrase table (phrase groups or "
+                        "phrase->class map) enabling METEOR's phrase "
+                        "matcher — restores the reference Java METEOR-1.5 "
+                        "paraphrase stage given equivalent data")
     parser.add_argument("--spice_cmd", type=str, default=None,
                         help="external SPICE command template ({input}/"
                         "{output} placeholders, or both paths appended); "
@@ -142,6 +148,8 @@ def run(argv=None):
     }
     if args.meteor_synonyms:
         copts["meteor_synonyms"] = args.meteor_synonyms
+    if args.meteor_paraphrases:
+        copts["meteor_paraphrases"] = args.meteor_paraphrases
     if args.spice_cmd:
         copts["spice_cmd"] = args.spice_cmd
     out = evaluate_checkpoints(models, copts, num=args.num, split=args.split,

@@ -9,8 +9,9 @@ pure-Python computable metrics over token ids (BLEU with corpus-level brevity
 penalty and closest-reference length, per Papineni et al. 2002 / the
 coco-caption convention; ROUGE-L per Lin 2004 with beta=1.2 as in
 coco-caption; METEOR per Banerjee & Lavie 2005 with exact + Porter-stem
-matchers, plus an optional synonym matcher when user-supplied synonym data
-is configured — see fitness/meteor.py). SPICE requires an external
+matchers, plus optional synonym and paraphrase-phrase matchers when
+user-supplied tables are configured — see fitness/meteor.py). SPICE
+requires an external
 dependency parser + scene-graph models and is intentionally not
 reimplemented; ``language_eval`` reports it as None unless a user-provided
 external tool is configured (``spice_cmd`` — see ``spice_external``).
@@ -153,7 +154,7 @@ def spice_external(cmd: str, items: list[dict]) -> float | None:
     return float(np.mean(scores)) if scores else None
 
 
-def language_eval(cands, gts_list, stem_of=None, syn_of=None,
+def language_eval(cands, gts_list, stem_of=None, syn_of=None, para=None,
                   spice_cmd: str | None = None,
                   spice_items: list[dict] | None = None) -> dict:
     """COCOEvalCap-shaped metric dict over token ids
@@ -162,9 +163,12 @@ def language_eval(cands, gts_list, stem_of=None, syn_of=None,
     stage-2 stem matcher; without it METEOR matches exact tokens only.
     ``syn_of``: optional token -> synonym-class-set mapping
     (CocoData.word_syn_of, from caption_options.meteor_synonyms) enabling
-    METEOR's stage-3 synonym matcher. ``spice_cmd`` + ``spice_items``
-    (string captions, see spice_external): score SPICE through an external
-    user-provided tool; SPICE is None when unset."""
+    METEOR's stage-3 synonym matcher. ``para``: optional word-id-space
+    ParaphraseTable (CocoData.paraphrase_table, from
+    caption_options.meteor_paraphrases) enabling METEOR's stage-4 phrase
+    matcher. ``spice_cmd`` + ``spice_items`` (string captions, see
+    spice_external): score SPICE through an external user-provided tool;
+    SPICE is None when unset."""
     from .meteor import meteor_corpus
     from .scorer import IndexedCiderScorer
 
@@ -173,16 +177,25 @@ def language_eval(cands, gts_list, stem_of=None, syn_of=None,
     mean_cider, _ = cider.score(np.asarray(cands), np.arange(len(cands)))
     spice = (spice_external(spice_cmd, spice_items)
              if spice_cmd and spice_items is not None else None)
-    meteor_note = (
-        "Banerjee-Lavie 2005 with exact+stem+synonym matchers (synonym "
-        "classes from caption_options.meteor_synonyms); the reference's "
-        "Java METEOR-1.5 additionally uses a paraphrase table and "
-        "function-word weighting"
-        if syn_of is not None else
-        "Banerjee-Lavie 2005 (exact+stem matchers); the reference's Java "
-        "METEOR-1.5 adds WordNet synonym/paraphrase stages, absolute "
-        "values differ by a few points"
-    )
+    if syn_of is not None or para is not None:
+        stages = "exact+stem" + ("+synonym" if syn_of is not None else "") \
+            + ("+paraphrase" if para is not None else "")
+        missing = ([] if syn_of is not None else ["the WordNet synonym "
+                                                  "stage"]) \
+            + ([] if para is not None else ["a paraphrase table"]) \
+            + ["function-word weighting"]
+        meteor_note = (
+            f"Banerjee-Lavie 2005 with {stages} matchers (user-supplied "
+            "tables, caption_options.meteor_synonyms/meteor_paraphrases); "
+            f"the reference's Java METEOR-1.5 additionally uses "
+            f"{' and '.join(missing)}"
+        )
+    else:
+        meteor_note = (
+            "Banerjee-Lavie 2005 (exact+stem matchers); the reference's "
+            "Java METEOR-1.5 adds WordNet synonym/paraphrase stages, "
+            "absolute values differ by a few points"
+        )
     spice_note = (
         "scored via the user-provided spice_cmd external tool"
         if spice is not None else
@@ -197,7 +210,7 @@ def language_eval(cands, gts_list, stem_of=None, syn_of=None,
         "Bleu_4": bleus[3],
         "ROUGE_L": rouge_l(cands, gts_list),
         "CIDEr": float(mean_cider),
-        "METEOR": meteor_corpus(cands, gts_list, stem_of, syn_of),
+        "METEOR": meteor_corpus(cands, gts_list, stem_of, syn_of, para),
         "SPICE": spice,
         # caveats ride along with every score presentation (README metrics
         # table states the same)

@@ -13,13 +13,15 @@ implements the original, fully-specified METEOR formulation instead:
     score = Fmean * (1 - penalty),   best over the image's references
 
 where ``m`` counts aligned unigrams (stage 1 exact, stage 2 Porter stems on
-the remainder, optional stage 3 synonym classes from a user-supplied table —
-``load_synonym_table`` / caption_options.meteor_synonyms) and ``chunks``
-counts maximal runs of the alignment that are contiguous in both sentences.
-Without synonym data, absolute values differ from METEOR-1.5 by a few
-points; with a WordNet-derived table the synonym stage restores that
-matcher. The paraphrase-table stage and function-word weighting remain
-out of scope. Documented as a deliberate deviation in README.md.
+the remainder, optional stage 3 synonym classes and stage 4 paraphrase
+phrases from user-supplied tables — ``load_synonym_table`` /
+``load_paraphrase_table``, caption_options.meteor_synonyms /
+meteor_paraphrases) and ``chunks`` counts maximal runs of the alignment
+that are contiguous in both sentences. Without the tables, absolute values
+differ from METEOR-1.5 by a few points; with WordNet/paraphrase-corpus
+exports the full METEOR-1.5 matcher cascade is restored. Function-word
+weighting (METEOR-1.5's delta parameter) remains out of scope. Documented
+as a deliberate deviation in README.md.
 
 The Porter stemmer below is the 1980 algorithm as published (An algorithm
 for suffix stripping, M.F. Porter), verified against the paper's examples in
@@ -30,7 +32,8 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["porter_stem", "meteor", "meteor_corpus", "load_synonym_table"]
+__all__ = ["porter_stem", "meteor", "meteor_corpus", "load_synonym_table",
+           "ParaphraseTable", "load_paraphrase_table"]
 
 
 # ---- Porter stemmer ---------------------------------------------------------------
@@ -181,19 +184,30 @@ def porter_stem(word: str) -> str:
 # ---- METEOR alignment + score ------------------------------------------------------
 
 
-def _align(hyp: list, ref: list, stem_of=None,
-           syn_of=None) -> list[tuple[int, int]]:
-    """Matcher-cascade unigram alignment: exact tokens, then stems, then
-    synonyms over the residue (the METEOR-1.5 cascade order minus the
-    paraphrase table). Within a stage each hypothesis position (left to
-    right) takes the nearest unmatched reference position — the standard
-    greedy approximation of METEOR's fewest-crossings tie-break.
+def _align(hyp: list, ref: list, stem_of=None, syn_of=None,
+           para=None) -> list[tuple[tuple[int, int], tuple[int, int]]]:
+    """Matcher-cascade alignment: exact tokens, then stems, then synonyms,
+    then paraphrase phrases over the residue (the METEOR-1.5 cascade order).
+    Within a unigram stage each hypothesis position (left to right) takes
+    the nearest unmatched reference position — the standard greedy
+    approximation of METEOR's fewest-crossings tie-break.
+
+    Returns SPAN pairs ``((h_start, h_len), (r_start, r_len))`` sorted by
+    hypothesis position; the unigram stages produce length-1 spans, the
+    paraphrase stage whole-phrase spans (possibly of unequal lengths).
 
     ``syn_of``: token -> set of synonym-class ids (e.g. WordNet synsets);
     two tokens match when their class sets intersect — a word belongs to
-    several synsets, so class equality would be too strict."""
+    several synsets, so class equality would be too strict.
+
+    ``para``: a :class:`ParaphraseTable` in the caller's token space; a
+    hypothesis phrase matches a reference phrase when their class sets
+    intersect and every covered position is still unmatched. Greedy rule
+    (documented, deterministic): scan hypothesis starts left to right,
+    prefer the longest matchable hypothesis span, then the reference span
+    with the nearest start (leftmost on ties, longest at that start)."""
     matched_r = [False] * len(ref)
-    pairs: list[tuple[int, int]] = []
+    spans: list[tuple[tuple[int, int], tuple[int, int]]] = []
     matched_h = [False] * len(hyp)
 
     def stage(key_h, key_r, hit):
@@ -210,7 +224,45 @@ def _align(hyp: list, ref: list, stem_of=None,
             if best >= 0:
                 matched_h[i] = True
                 matched_r[best] = True
-                pairs.append((i, best))
+                spans.append(((i, 1), (best, 1)))
+
+    def stage_paraphrase(ptab):
+        i = 0
+        while i < len(hyp):
+            if matched_h[i]:
+                i += 1
+                continue
+            chosen = None
+            for L in range(min(ptab.max_len, len(hyp) - i), 0, -1):
+                if any(matched_h[i:i + L]):
+                    continue
+                ch = ptab.classes(hyp[i:i + L])
+                if not ch:
+                    continue
+                best = None  # ((distance, j), j, M)
+                for j in range(len(ref)):
+                    for M in range(min(ptab.max_len, len(ref) - j), 0, -1):
+                        if any(matched_r[j:j + M]):
+                            continue
+                        cr = ptab.classes(ref[j:j + M])
+                        if cr and (ch & cr):
+                            key = (abs(i - j), j)
+                            if best is None or key < best[0]:
+                                best = (key, j, M)
+                            break  # longest M at this j; shorter adds nothing
+                if best is not None:
+                    chosen = (L, best[1], best[2])
+                    break  # longest hypothesis span wins
+            if chosen is None:
+                i += 1
+                continue
+            L, j, M = chosen
+            for k in range(L):
+                matched_h[i + k] = True
+            for k in range(M):
+                matched_r[j + k] = True
+            spans.append(((i, L), (j, M)))
+            i += L
 
     eq = lambda a, b: a == b  # noqa: E731
     stage(hyp, ref, eq)
@@ -219,22 +271,26 @@ def _align(hyp: list, ref: list, stem_of=None,
     if syn_of is not None:
         stage([syn_of(t) for t in hyp], [syn_of(t) for t in ref],
               lambda a, b: bool(a and b and (a & b)))
-    return sorted(pairs)
+    if para:
+        stage_paraphrase(para)
+    return sorted(spans)
 
 
-def _chunks(pairs: list[tuple[int, int]]) -> int:
-    """Maximal runs contiguous in both sentences (pairs sorted by hyp pos)."""
-    if not pairs:
+def _chunks(spans) -> int:
+    """Maximal runs contiguous in both sentences (spans sorted by hyp pos):
+    a run continues when the next span starts exactly where the previous one
+    ended on BOTH sides — for length-1 spans this is the classic adjacent-
+    pair rule; a matched phrase pair is contiguous by construction."""
+    if not spans:
         return 0
-    by_h = pairs  # already sorted
     n = 1
-    for (h1, r1), (h2, r2) in zip(by_h, by_h[1:]):
-        if h2 != h1 + 1 or r2 != r1 + 1:
+    for ((h1, hl), (r1, rl)), ((h2, _), (r2, _)) in zip(spans, spans[1:]):
+        if h2 != h1 + hl or r2 != r1 + rl:
             n += 1
     return n
 
 
-def meteor(hyp, refs, stem_of=None, syn_of=None) -> float:
+def meteor(hyp, refs, stem_of=None, syn_of=None, para=None) -> float:
     """METEOR score of one hypothesis against its references (best ref).
 
     hyp: token sequence; refs: list of token sequences. Tokens may be ints
@@ -242,21 +298,30 @@ def meteor(hyp, refs, stem_of=None, syn_of=None) -> float:
     enabling the stage-2 stem matcher. ``syn_of``: optional token ->
     synonym-class-id set enabling the stage-3 synonym matcher (the
     reference METEOR-1.5's WordNet stage, given user-supplied synonym data —
-    caption_options.meteor_synonyms)."""
+    caption_options.meteor_synonyms). ``para``: optional
+    :class:`ParaphraseTable` enabling the stage-4 phrase matcher
+    (caption_options.meteor_paraphrases).
+
+    With phrase matches the matched mass can differ per side: precision
+    counts hypothesis words covered (m_h), recall reference words covered
+    (m_r); the fragmentation penalty uses m_h (METEOR's "matched unigrams"
+    are counted in the hypothesis). For unigram-only alignments
+    m_h == m_r == m, the exact 2005 formulation."""
     hyp = list(hyp)
     best = 0.0
     for ref in refs:
         ref = list(ref)
         if not hyp or not ref:
             continue
-        pairs = _align(hyp, ref, stem_of, syn_of)
-        m = len(pairs)
-        if m == 0:
+        spans = _align(hyp, ref, stem_of, syn_of, para)
+        m_h = sum(hl for (_, hl), _ in spans)
+        m_r = sum(rl for _, (_, rl) in spans)
+        if m_h == 0:
             continue
-        p = m / len(hyp)
-        r = m / len(ref)
+        p = m_h / len(hyp)
+        r = m_r / len(ref)
         fmean = 10.0 * p * r / (r + 9.0 * p)
-        penalty = 0.5 * (_chunks(pairs) / m) ** 3
+        penalty = 0.5 * (_chunks(spans) / m_h) ** 3
         best = max(best, fmean * (1.0 - penalty))
     return best
 
@@ -270,15 +335,36 @@ def _strip_eos(row) -> list:
     return out
 
 
-def meteor_corpus(cands, gts_list, stem_of=None, syn_of=None) -> float:
+def meteor_corpus(cands, gts_list, stem_of=None, syn_of=None,
+                  para=None) -> float:
     """Mean METEOR over (candidate row, reference rows) pairs of int token
     rows (0-terminated, the framework's caption layout)."""
     scores = [
         meteor(_strip_eos(c), [_strip_eos(r) for r in np.asarray(refs)],
-               stem_of, syn_of)
+               stem_of, syn_of, para)
         for c, refs in zip(cands, gts_list)
     ]
     return float(np.mean(scores)) if scores else 0.0
+
+
+class ParaphraseTable:
+    """Phrase (token tuple) -> paraphrase-class-id frozenset, with the max
+    phrase length cached for the aligner's span search. Token space is the
+    caller's (word strings from :func:`load_paraphrase_table`; word ids
+    after CocoData.paraphrase_table maps it into scoring space)."""
+
+    def __init__(self, table: dict):
+        self.table = {tuple(k): frozenset(v) for k, v in table.items()}
+        self.max_len = max((len(k) for k in self.table), default=0)
+
+    def classes(self, phrase):
+        return self.table.get(tuple(phrase))
+
+    def __bool__(self) -> bool:
+        return bool(self.table)
+
+    def __len__(self) -> int:
+        return len(self.table)
 
 
 def load_synonym_table(path: str) -> dict[str, frozenset]:
@@ -309,3 +395,42 @@ def load_synonym_table(path: str) -> dict[str, frozenset]:
             f"word->class dict, got {type(spec).__name__}"
         )
     return {w: frozenset(s) for w, s in table.items()}
+
+
+def load_paraphrase_table(path: str) -> ParaphraseTable:
+    """User-supplied paraphrase data -> :class:`ParaphraseTable` over word
+    strings (the reference Java METEOR-1.5's paraphrase-table stage, given
+    equivalent data — e.g. an export of its ``paraphrase-en.gz``).
+
+    Accepted JSON formats (mirroring load_synonym_table):
+      * a list of paraphrase groups of phrase strings:
+        ``[["kid jumped", "child leaped"], ["sofa", "couch"]]``
+        (group index = class id; a pair is just a 2-element group);
+      * a dict phrase -> class id(s): ``{"kid jumped": 0, "child leaped": [0]}``.
+    Phrases are lowercased and whitespace-tokenized; single-word phrases are
+    allowed (they fire only on the residue the earlier matchers left)."""
+    import json
+
+    with open(path) as f:
+        spec = json.load(f)
+    table: dict[tuple, set] = {}
+
+    def add(phrase, gid):
+        words = tuple(str(phrase).lower().split())
+        if words:
+            table.setdefault(words, set()).add(int(gid))
+
+    if isinstance(spec, list):
+        for gid, group in enumerate(spec):
+            for phrase in group:
+                add(phrase, gid)
+    elif isinstance(spec, dict):
+        for phrase, gids in spec.items():
+            for g in (gids if isinstance(gids, (list, tuple)) else [gids]):
+                add(phrase, g)
+    else:
+        raise ValueError(
+            f"paraphrase table {path}: expected a JSON list of phrase groups "
+            f"or a phrase->class dict, got {type(spec).__name__}"
+        )
+    return ParaphraseTable(table)

@@ -164,6 +164,123 @@ def test_load_synonym_table_formats(tmp_path):
         load_synonym_table(str(bad))
 
 
+# ---- paraphrase matcher (METEOR-1.5's phrase stage, user-supplied data) ------
+
+
+def _ptab(groups):
+    from nes_img_captioning_tpu.fitness.meteor import ParaphraseTable
+
+    table = {}
+    for gid, group in enumerate(groups):
+        for phrase in group:
+            key = tuple(phrase.split())
+            table[key] = table.get(key, frozenset()) | {gid}
+    return ParaphraseTable(table)
+
+
+def test_meteor_paraphrase_matcher():
+    para = _ptab([["kid jumped", "child leaped"]])
+    hyp, ref = ["the", "kid", "jumped"], [["the", "child", "leaped"]]
+    base = meteor(hyp, ref, stem_of=porter_stem)
+    s = meteor(hyp, ref, stem_of=porter_stem, para=para)
+    # exact matches 'the'; the phrase covers the rest: m_h=m_r=3, P=R=1,
+    # Fmean=1; the phrase span continues the 'the' run -> chunks=1
+    assert s == pytest.approx(1.0 - 0.5 * (1 / 3) ** 3)
+    assert s > base
+
+
+def test_meteor_paraphrase_unequal_span_lengths():
+    # one hyp word covers a two-word ref phrase: m_h=1 (P=1), m_r=2 (R=1),
+    # chunks=1 over m_h=1 -> penalty=0.5
+    para = _ptab([["sofa", "couch seat"]])
+    s = meteor(["sofa"], [["couch", "seat"]], para=para)
+    assert s == pytest.approx(0.5)
+
+
+def test_meteor_paraphrase_fires_only_on_residue():
+    # 'kid' is exact-matched first, so the phrase (needing hyp[0..1] free)
+    # cannot fire — earlier stages own their words
+    para = _ptab([["kid jumped", "kid leaped"]])
+    s = meteor(["kid", "jumped"], [["kid", "leaped"]], para=para)
+    # m=1 of 2 each side: P=R=1/2, Fmean=1/2, chunks=1 -> penalty 0.5
+    assert s == pytest.approx(0.5 * (1.0 - 0.5))
+
+
+def test_meteor_paraphrase_prefers_longest_hyp_span():
+    # both 'a b'~'c d' (2-word) and 'a'~'d' (1-word, nearer diagonal) are in
+    # the table; the longest hypothesis span wins
+    para = _ptab([["a b", "c d"], ["a", "d"]])
+    s = meteor(["a", "b"], [["c", "d"]], para=para)
+    # phrase covers everything: m_h=m_r=2, Fmean=1, chunks=1, m_h=2
+    assert s == pytest.approx(1.0 - 0.5 * (1 / 2) ** 3)
+
+
+def test_load_paraphrase_table_formats(tmp_path):
+    import json
+
+    from nes_img_captioning_tpu.fitness.meteor import load_paraphrase_table
+
+    groups = tmp_path / "groups.json"
+    groups.write_text(json.dumps(
+        [["Kid Jumped", "child leaped"], ["sofa", "kid jumped"]]
+    ))
+    t = load_paraphrase_table(str(groups))
+    assert t.classes(("kid", "jumped")) == frozenset({0, 1})  # lowercased
+    assert t.classes(("child", "leaped")) == frozenset({0})
+    assert t.classes(("sofa",)) == frozenset({1})
+    assert t.max_len == 2 and bool(t) and len(t) == 3
+
+    mapping = tmp_path / "map.json"
+    mapping.write_text(json.dumps({"kid jumped": [3, 7], "child leaped": 3}))
+    t = load_paraphrase_table(str(mapping))
+    assert t.classes(("kid", "jumped")) == frozenset({3, 7})
+    assert t.classes(("child", "leaped")) == frozenset({3})
+
+    bad = tmp_path / "bad.json"
+    bad.write_text('"just a string"')
+    with pytest.raises(ValueError):
+        load_paraphrase_table(str(bad))
+
+
+def test_coco_paraphrase_table_from_caption_options(tmp_path):
+    """caption_options.meteor_paraphrases maps the table into word-id space;
+    phrases with out-of-vocab words are dropped."""
+    import json
+
+    from nes_img_captioning_tpu.data.mscoco import CocoData
+    from nes_img_captioning_tpu.data.synthetic import make_synthetic_coco
+
+    copts = make_synthetic_coco(str(tmp_path / "d"), n_train=24, n_val=8,
+                                n_test=8, vocab_size=20, fc_feat_size=16)
+    info = json.load(open(copts["input_json"]))
+    w1, w2, w3 = (info["ix_to_word"][k] for k in ("1", "2", "3"))
+    para_path = tmp_path / "para.json"
+    para_path.write_text(json.dumps(
+        [[f"{w1} {w2}", w3], ["nonvocabword", w1]]
+    ))
+
+    data = CocoData(dict(copts, meteor_paraphrases=str(para_path)))
+    ptab = data.paraphrase_table()
+    wid = lambda t: int(data.word_id_rows(np.asarray([t]))[0])  # noqa: E731
+    assert ptab.classes((wid(1), wid(2))) == frozenset({0})
+    assert ptab.classes((wid(3),)) == frozenset({0})
+    assert ptab.classes((wid(1),)) == frozenset({1})
+    # the OOV phrase is dropped entirely
+    assert len(ptab) == 3
+
+    # without the option the stage stays off
+    assert CocoData(copts).paraphrase_table() is None
+
+    # end to end: the two-word phrase aligns with w3 in language_eval
+    rows = lambda a: np.asarray([list(a) + [0]])  # noqa: E731
+    out = language_eval(
+        data.word_id_rows(rows([1, 2])), [data.word_id_rows(rows([3]))],
+        stem_of=data.word_stem_of, para=ptab,
+    )
+    assert out["METEOR"] > 0.0
+    assert "paraphrase" in out["metric_notes"]["METEOR"]
+
+
 def test_coco_word_syn_of_from_caption_options(tmp_path):
     """caption_options.meteor_synonyms wires the table through CocoData into
     word-id space (the id space language_eval scores in)."""

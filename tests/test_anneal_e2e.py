@@ -167,6 +167,91 @@ def test_schedule_anneal_end_to_end(tmp_path, algorithm):
 
 
 @pytest.mark.slow
+def test_coco_nes_schedule_anneal_on_fused_blocked_path(tmp_path):
+    """Schedule firing on the FLAGSHIP captioning path: fused Pallas decode
+    (in-kernel pair perturbation auto-on), val-fused 2-generation blocks,
+    and a mid-run batch-size/sigma step. The block planner must run the
+    firing iteration alone (nes.py:_block_budget), every program rebuilds at
+    the new batch shape (decode kernel, DeviceCider wave, sampler), and a
+    post-anneal resume restores the stepped state — the mnist anneal tests
+    cover the loop arithmetic; this covers the shape-rebuild machinery the
+    real model exercises."""
+    from nes_img_captioning_tpu.algorithms.nes import NESMaster
+    from nes_img_captioning_tpu.data.synthetic import make_synthetic_coco
+
+    copts = make_synthetic_coco(str(tmp_path / "d"), n_train=48, n_val=12,
+                                n_test=12, vocab_size=25, fc_feat_size=32)
+
+    def coco_exp(log_dir):
+        return {
+            "algorithm": "nic_nes",
+            "config": {
+                "eval_prob": 0.003, "noise_stdev": 0.01, "snapshot_freq": 1,
+                "batch_size": 8, "val_batch_size": 8, "num_val_items": 8,
+                "patience": 0, "schedule_start": 3, "schedule_limit": 3,
+                "stdev_divisor": 2, "bs_multiplier": 2,
+                "stepsize_divisor": 2, "l2coeff": 1e-7,
+                "single_batch": False,
+            },
+            "policy_options": {
+                "net": "fc_caption", "fitness": "greedy", "vbn": False,
+                "model_options": {
+                    "safe_mutations": "", "input_encoding_size": 16,
+                    "rnn_size": 16, "fc_feat_size": 32,
+                },
+            },
+            "optimizer_options": {"type": "adam",
+                                  "args": {"stepsize": 0.001}},
+            "dataset": "mscoco", "nb_offspring": 4, "num_elites": 1,
+            "caption_options": copts, "log_dir": log_dir,
+            "tpu": {"seed": 0, "fused_decode": True, "precision": "f32",
+                    "gens_per_dispatch": 2},
+        }
+
+    master = NESMaster(coco_exp(str(tmp_path / "run")))
+    master.task._fused_interpret = True  # run the Pallas kernel on CPU
+    assert master.engine._kernel_perturb, \
+        "the pair kernel must ride this run (greedy + fused + layout)"
+    sigma0 = master.it.noise_stdev()
+    bs0 = master.it.batch_size()
+    lr0 = master.optimizer.stepsize
+
+    master.run_master(max_iterations=5)
+
+    assert master._val_fused  # blocks + in-program validation engaged
+    it = master.it
+    assert it.noise_stdev() == pytest.approx(sigma0 / 2)
+    assert it.batch_size() == bs0 * 2
+    assert it.times_orig_bs() == 2
+    assert master.optimizer.stepsize == pytest.approx(lr0 / 2)
+    # schedule fires at iteration 3, which runs at the stepped shapes
+    assert master.stats.bs_stats() == [bs0, bs0, 2 * bs0, 2 * bs0, 2 * bs0]
+    assert len(master.stats.score_stats()[1]) == 5
+    assert np.isfinite(master.stats.score_stats()[1]).all()
+    assert len(master.stats.acc_stats()) == 5  # val-fused: every generation
+
+    zinfo = _latest_zinfo(str(tmp_path / "run"))
+    infos = json.loads(open(zinfo).read())
+    assert infos["noise_stdev"] == pytest.approx(sigma0 / 2)
+    assert infos["batch_size"] == bs0 * 2
+    assert infos["times_orig_bs"] == 2
+
+    exp2 = coco_exp(str(tmp_path / "run2"))
+    exp2["from_infos"] = zinfo
+    master2 = NESMaster(exp2)
+    master2.task._fused_interpret = True
+    assert master2.it.noise_stdev() == pytest.approx(sigma0 / 2)
+    assert master2.it.batch_size() == bs0 * 2
+    assert master2.it.times_orig_bs() == 2
+    # rewound one iteration: 5 and 6 re-run at the stepped shapes, and
+    # iteration 6 fires the schedule again ((6-3) % 3 == 0) -> bs0 * 4
+    master2.run_master(max_iterations=6)
+    assert len(master2.stats.score_stats()[1]) == 7
+    assert master2.it.batch_size() == bs0 * 4
+    assert np.isfinite(master2.stats.score_stats()[1]).all()
+
+
+@pytest.mark.slow
 def test_es_patience_anneal_end_to_end(tmp_path):
     """ES patience firing through run_master on the host-choreographed path
     (tpu.fused_es=false pins host validation so the never-improving score is

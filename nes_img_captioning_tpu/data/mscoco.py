@@ -143,16 +143,25 @@ class CocoData:
         seq = np.asarray(seq)
         return self._tok_to_word_id[np.clip(seq, 0, self.vocab_size)]
 
+    def _vocab_wids(self) -> np.ndarray:
+        """Word-id (word_id_rows space) of every vocab token, vectorized:
+        ``_vocab_wids()[t - 1]`` is token t's word-id. Shared by the METEOR
+        table builders below."""
+        if not hasattr(self, "_vocab_wid_arr"):
+            self._vocab_wid_arr = self.word_id_rows(
+                np.arange(1, self.vocab_size + 1))
+        return self._vocab_wid_arr
+
     def word_stem_of(self, word_id: int) -> int:
         """Word-id (from word_id_rows) -> Porter-stem-class id, for METEOR's
         stem matcher (language_eval). Built once from the vocab strings."""
         if not hasattr(self, "_word_stem_table"):
             from ..fitness.meteor import porter_stem
 
+            wids = self._vocab_wids()
             word_of: dict[int, str] = {}
             for t in range(1, self.vocab_size + 1):
-                wid = int(self.word_id_rows(np.asarray([t]))[0])
-                word_of.setdefault(wid, self.ix_to_word[str(t)])
+                word_of.setdefault(int(wids[t - 1]), self.ix_to_word[str(t)])
             stem_ids: dict[str, int] = {}
             table = np.zeros(max(word_of, default=0) + 1, np.int32)
             for wid, w in word_of.items():
@@ -177,12 +186,12 @@ class CocoData:
                 from ..fitness.meteor import load_synonym_table
 
                 syn = load_synonym_table(path)
+                wids = self._vocab_wids()
                 table: dict[int, frozenset] = {}
                 for t in range(1, self.vocab_size + 1):
-                    wid = int(self.word_id_rows(np.asarray([t]))[0])
                     s = syn.get(self.ix_to_word[str(t)].lower())
                     if s:
-                        table.setdefault(wid, s)
+                        table.setdefault(int(wids[t - 1]), s)
                 self._word_syn_table = table
         return self._word_syn_table.get(word_id)
 
@@ -209,15 +218,25 @@ class CocoData:
                     load_paraphrase_table,
                 )
 
+                import itertools
+
                 ptab = load_paraphrase_table(path)
-                wid_of: dict[str, int] = {}
+                # Lowercased word -> every case-variant word-id, so a
+                # phrase keyed "car" matches captions using "Car" too
+                # (mirrors word_syn_of, which maps every variant).
+                wids_of: dict[str, set] = {}
+                wids = self._vocab_wids()
                 for t in range(1, self.vocab_size + 1):
-                    wid = int(self.word_id_rows(np.asarray([t]))[0])
-                    wid_of.setdefault(self.ix_to_word[str(t)].lower(), wid)
+                    w = self.ix_to_word[str(t)].lower()
+                    wids_of.setdefault(w, set()).add(int(wids[t - 1]))
                 table: dict[tuple, frozenset] = {}
                 for phrase, cls in ptab.table.items():
-                    ids = tuple(wid_of.get(w, 0) for w in phrase)
-                    if 0 not in ids:
+                    variants = [sorted(wids_of.get(w, ())) for w in phrase]
+                    if any(not v for v in variants):
+                        continue  # out-of-vocab word: phrase can't appear
+                    combos = itertools.islice(
+                        itertools.product(*variants), 64)
+                    for ids in combos:
                         table[ids] = table.get(ids, frozenset()) | cls
                 self._para_table = ParaphraseTable(table)
         return self._para_table

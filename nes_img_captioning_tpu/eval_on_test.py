@@ -53,6 +53,10 @@ def evaluate_checkpoints(models: dict[str, str], caption_options: dict,
     all_stats: dict = {}
     preds_per_model: dict = {}
     spice_cmd = caption_options.get("spice_cmd")
+    # reference captions are model-independent: decode once, reuse across
+    # every checkpoint (and across the spice_items / preds entries below)
+    ref_sents = [data.decode_sequence(gts[i]) for i in range(n)]
+    ref_wids = [data.word_id_rows(g) for g in gts[:n]]
     for name, path in models.items():
         theta = jnp.asarray(model.spec.load_pth(path))
         seqs = []
@@ -66,14 +70,14 @@ def evaluate_checkpoints(models: dict[str, str], caption_options: dict,
             # own input schema; see fitness/lang_metrics.spice_external)
             spice_items = [
                 {"image_id": image_ids[i], "test": sents[i],
-                 "refs": data.decode_sequence(gts[i])}
+                 "refs": ref_sents[i]}
                 for i in range(n)
             ]
         # word-level scoring: duplicate word strings collapse, matching
         # pycocoevalcap's string convention (data.word_id_rows docstring)
         stats = language_eval(
             data.word_id_rows(seqs),
-            [data.word_id_rows(g) for g in gts[:n]],
+            ref_wids,
             stem_of=data.word_stem_of,
             syn_of=data.word_syn_of if data.has_synonym_table() else None,
             para=data.paraphrase_table(),
@@ -82,7 +86,7 @@ def evaluate_checkpoints(models: dict[str, str], caption_options: dict,
         logger.info("%s: %s", name, stats)
         preds_per_model[name] = [
             {"image_id": image_ids[i], "caption": sents[i],
-             "gts": data.decode_sequence(gts[i])}
+             "gts": ref_sents[i]}
             for i in range(n)
         ]
         all_stats[name] = stats

@@ -148,10 +148,15 @@ def spice_external(cmd: str, items: list[dict]) -> float | None:
                         f": {detail[-500:].decode(errors='replace')}"
                         if detail else "")
             return None
-    if isinstance(out, dict):
-        return float(out["SPICE"]) if "SPICE" in out else None
-    scores = [it["scores"]["All"]["f"] for it in out]
-    return float(np.mean(scores)) if scores else None
+    try:
+        if isinstance(out, dict):
+            return float(out["SPICE"]) if "SPICE" in out else None
+        scores = [it["scores"]["All"]["f"] for it in out]
+        return float(np.mean(scores)) if scores else None
+    except (KeyError, TypeError, ValueError) as e:
+        log.warning("spice_cmd output had an unexpected shape (%s) — "
+                    "reporting SPICE=None", e)
+        return None
 
 
 def language_eval(cands, gts_list, stem_of=None, syn_of=None, para=None,

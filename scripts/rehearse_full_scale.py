@@ -141,9 +141,10 @@ def main():
         train_dev.block_until_ready()
         # honest sync through the tunnel: a tiny device->host pull
         _ = float(train_dev[0, 0])
-        results["upload_s"] = round(time.time() - t0, 1)
+        upload_s = max(time.time() - t0, 1e-3)
+        results["upload_s"] = round(upload_s, 3)
         results["upload_gb_per_s"] = round(
-            results["train_matrix_gb"] / results["upload_s"], 2
+            results["train_matrix_gb"] / upload_s, 2
         )
         try:
             ms = dev.memory_stats()

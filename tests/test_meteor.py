@@ -281,6 +281,35 @@ def test_coco_paraphrase_table_from_caption_options(tmp_path):
     assert "paraphrase" in out["metric_notes"]["METEOR"]
 
 
+def test_coco_paraphrase_table_case_variants(tmp_path):
+    """A phrase keyed on a lowercased word matches EVERY case variant of
+    that word in the vocab (each variant has its own word-id; the table
+    must key all of them, mirroring word_syn_of)."""
+    import json
+
+    from nes_img_captioning_tpu.data.mscoco import CocoData
+    from nes_img_captioning_tpu.data.synthetic import make_synthetic_coco
+
+    copts = make_synthetic_coco(str(tmp_path / "d"), n_train=24, n_val=8,
+                                n_test=8, vocab_size=20, fc_feat_size=16)
+    info = json.load(open(copts["input_json"]))
+    # token 4 becomes a case variant of token 1's word
+    info["ix_to_word"]["4"] = info["ix_to_word"]["1"].upper()
+    with open(copts["input_json"], "w") as f:
+        json.dump(info, f)
+    w1, w2 = info["ix_to_word"]["1"], info["ix_to_word"]["2"]
+    para_path = tmp_path / "para.json"
+    para_path.write_text(json.dumps([[f"{w1} {w2}", w2]]))
+
+    data = CocoData(dict(copts, meteor_paraphrases=str(para_path)))
+    ptab = data.paraphrase_table()
+    wid = lambda t: int(data.word_id_rows(np.asarray([t]))[0])  # noqa: E731
+    assert wid(1) != wid(4)  # case variants are distinct word-ids
+    assert ptab.classes((wid(1), wid(2))) == frozenset({0})
+    # the variant-wid phrase matches the same class
+    assert ptab.classes((wid(4), wid(2))) == frozenset({0})
+
+
 def test_coco_word_syn_of_from_caption_options(tmp_path):
     """caption_options.meteor_synonyms wires the table through CocoData into
     word-id space (the id space language_eval scores in)."""

@@ -230,16 +230,65 @@ class CocoData:
                     w = self.ix_to_word[str(t)].lower()
                     wids_of.setdefault(w, set()).add(int(wids[t - 1]))
                 table: dict[tuple, frozenset] = {}
+                n_trunc = 0
                 for phrase, cls in ptab.table.items():
                     variants = [sorted(wids_of.get(w, ())) for w in phrase]
                     if any(not v for v in variants):
                         continue  # out-of-vocab word: phrase can't appear
+                    n_combo = 1
+                    for v in variants:
+                        n_combo *= len(v)
+                    # real vocabs have <=2-3 case variants per word and
+                    # METEOR phrases are short, so 64 combos is generous;
+                    # don't truncate silently if a vocab defeats that
+                    n_trunc += n_combo > 64
                     combos = itertools.islice(
                         itertools.product(*variants), 64)
                     for ids in combos:
                         table[ids] = table.get(ids, frozenset()) | cls
+                if n_trunc:
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "paraphrase_table: %d phrases had >64 case-variant "
+                        "combinations; extras were dropped", n_trunc)
                 self._para_table = ParaphraseTable(table)
         return self._para_table
+
+    def meteor_params(self):
+        """fitness.meteor.Meteor15Params (or None) switching METEOR scoring
+        to the 1.5 formulation, from ``caption_options.meteor_params`` —
+        ``true`` / ``"1.5"`` for the tuned English defaults, or a dict
+        overriding any of alpha/beta/gamma/delta/weights. A
+        ``caption_options.meteor_function_words`` list (JSON or one word per
+        line, see fitness/meteor.load_function_words) enables the δ
+        function-word weighting, mapped into word-id space here (every case
+        variant of a listed word counts as a function word). Restores the
+        reference Java METEOR-1.5's scoring given its data exports
+        (reference: src/captioning/eval_utils.py:30-57)."""
+        if not hasattr(self, "_meteor_params"):
+            spec = self.opts.get("meteor_params")
+            if not spec:
+                self._meteor_params = None
+            else:
+                from ..fitness.meteor import (
+                    Meteor15Params,
+                    load_function_words,
+                )
+
+                kw = dict(spec) if isinstance(spec, dict) else {}
+                fw_path = self.opts.get("meteor_function_words")
+                if fw_path:
+                    fwords = load_function_words(fw_path)
+                    wids = self._vocab_wids()
+                    is_func = np.zeros(int(wids.max()) + 1, bool)
+                    for t in range(1, self.vocab_size + 1):
+                        if self.ix_to_word[str(t)].lower() in fwords:
+                            is_func[int(wids[t - 1])] = True
+                    kw["func_of"] = lambda wid: bool(
+                        0 <= wid < is_func.size and is_func[wid])
+                self._meteor_params = Meteor15Params(**kw)
+        return self._meteor_params
 
     def split_gts_words(self, split: str) -> list:
         """Per-image reference captions as word-id rows (for word-level

@@ -82,6 +82,7 @@ def evaluate_checkpoints(models: dict[str, str], caption_options: dict,
             syn_of=data.word_syn_of if data.has_synonym_table() else None,
             para=data.paraphrase_table(),
             spice_cmd=spice_cmd, spice_items=spice_items,
+            params15=data.meteor_params(),
         )
         logger.info("%s: %s", name, stats)
         preds_per_model[name] = [
@@ -129,6 +130,14 @@ def run(argv=None):
                         "phrase->class map) enabling METEOR's phrase "
                         "matcher — restores the reference Java METEOR-1.5 "
                         "paraphrase stage given equivalent data")
+    parser.add_argument("--meteor_15", action="store_true",
+                        help="score METEOR with the 1.5 formulation "
+                        "(parameterized Fmean/penalty, matcher weights, "
+                        "tuned English defaults) instead of the 2005 one")
+    parser.add_argument("--meteor_function_words", type=str, default=None,
+                        help="function-word list (JSON list or one word per "
+                        "line) enabling METEOR-1.5's δ weighting; implies "
+                        "--meteor_15")
     parser.add_argument("--spice_cmd", type=str, default=None,
                         help="external SPICE command template ({input}/"
                         "{output} placeholders, or both paths appended); "
@@ -154,6 +163,10 @@ def run(argv=None):
         copts["meteor_synonyms"] = args.meteor_synonyms
     if args.meteor_paraphrases:
         copts["meteor_paraphrases"] = args.meteor_paraphrases
+    if args.meteor_15 or args.meteor_function_words:
+        copts["meteor_params"] = True
+    if args.meteor_function_words:
+        copts["meteor_function_words"] = args.meteor_function_words
     if args.spice_cmd:
         copts["spice_cmd"] = args.spice_cmd
     out = evaluate_checkpoints(models, copts, num=args.num, split=args.split,

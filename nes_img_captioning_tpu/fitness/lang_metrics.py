@@ -161,7 +161,8 @@ def spice_external(cmd: str, items: list[dict]) -> float | None:
 
 def language_eval(cands, gts_list, stem_of=None, syn_of=None, para=None,
                   spice_cmd: str | None = None,
-                  spice_items: list[dict] | None = None) -> dict:
+                  spice_items: list[dict] | None = None,
+                  params15=None) -> dict:
     """COCOEvalCap-shaped metric dict over token ids
     (reference: src/captioning/eval_utils.py:49-57). ``stem_of``: optional
     token -> stem-class mapping (CocoData.word_stem_of) enabling METEOR's
@@ -173,7 +174,10 @@ def language_eval(cands, gts_list, stem_of=None, syn_of=None, para=None,
     caption_options.meteor_paraphrases) enabling METEOR's stage-4 phrase
     matcher. ``spice_cmd`` + ``spice_items`` (string captions, see
     spice_external): score SPICE through an external user-provided tool;
-    SPICE is None when unset."""
+    SPICE is None when unset. ``params15``: optional
+    fitness.meteor.Meteor15Params (CocoData.meteor_params, from
+    caption_options.meteor_params/meteor_function_words) switching METEOR
+    to the 1.5 scoring formulation with function-word weighting."""
     from .meteor import meteor_corpus
     from .scorer import IndexedCiderScorer
 
@@ -182,13 +186,25 @@ def language_eval(cands, gts_list, stem_of=None, syn_of=None, para=None,
     mean_cider, _ = cider.score(np.asarray(cands), np.arange(len(cands)))
     spice = (spice_external(spice_cmd, spice_items)
              if spice_cmd and spice_items is not None else None)
-    if syn_of is not None or para is not None:
+    if params15 is not None:
+        stages = "exact+stem" + ("+synonym" if syn_of is not None else "") \
+            + ("+paraphrase" if para is not None else "")
+        fw = ("with" if params15.func_of is not None else "WITHOUT a") \
+            + " function-word list"
+        meteor_note = (
+            f"METEOR-1.5 scoring formulation (α={params15.alpha}, "
+            f"β={params15.beta}, γ={params15.gamma}, δ={params15.delta}, "
+            f"stage weights {params15.weights}), {stages} matchers, {fw} "
+            "(caption_options.meteor_params/meteor_function_words/"
+            "meteor_synonyms/meteor_paraphrases)"
+        )
+    elif syn_of is not None or para is not None:
         stages = "exact+stem" + ("+synonym" if syn_of is not None else "") \
             + ("+paraphrase" if para is not None else "")
         missing = ([] if syn_of is not None else ["the WordNet synonym "
                                                   "stage"]) \
             + ([] if para is not None else ["a paraphrase table"]) \
-            + ["function-word weighting"]
+            + ["the 1.5 scoring formulation (caption_options.meteor_params)"]
         meteor_note = (
             f"Banerjee-Lavie 2005 with {stages} matchers (user-supplied "
             "tables, caption_options.meteor_synonyms/meteor_paraphrases); "
@@ -215,7 +231,8 @@ def language_eval(cands, gts_list, stem_of=None, syn_of=None, para=None,
         "Bleu_4": bleus[3],
         "ROUGE_L": rouge_l(cands, gts_list),
         "CIDEr": float(mean_cider),
-        "METEOR": meteor_corpus(cands, gts_list, stem_of, syn_of, para),
+        "METEOR": meteor_corpus(cands, gts_list, stem_of, syn_of, para,
+                                params15),
         "SPICE": spice,
         # caveats ride along with every score presentation (README metrics
         # table states the same)

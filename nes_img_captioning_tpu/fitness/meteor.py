@@ -19,9 +19,15 @@ phrases from user-supplied tables — ``load_synonym_table`` /
 meteor_paraphrases) and ``chunks`` counts maximal runs of the alignment
 that are contiguous in both sentences. Without the tables, absolute values
 differ from METEOR-1.5 by a few points; with WordNet/paraphrase-corpus
-exports the full METEOR-1.5 matcher cascade is restored. Function-word
-weighting (METEOR-1.5's delta parameter) remains out of scope. Documented
-as a deliberate deviation in README.md.
+exports the full METEOR-1.5 matcher cascade is restored.
+
+The METEOR-1.5 SCORING formulation (Denkowski & Lavie 2014) is also
+available, opt-in via :class:`Meteor15Params` (caption_options.meteor_params
+/ meteor_function_words): parameterized Fmean ``P·R/(α·P+(1−α)·R)``,
+penalty ``γ·(ch/m)^β``, per-matcher-stage weights ``w_i``, and
+content/function-word weighting ``δ`` over a user-supplied function-word
+list. With no params the exactly-specified 2005 formulation above remains
+the default. Documented as a deliberate deviation in README.md.
 
 The Porter stemmer below is the 1980 algorithm as published (An algorithm
 for suffix stripping, M.F. Porter), verified against the paper's examples in
@@ -33,7 +39,8 @@ from __future__ import annotations
 import numpy as np
 
 __all__ = ["porter_stem", "meteor", "meteor_corpus", "load_synonym_table",
-           "ParaphraseTable", "load_paraphrase_table"]
+           "ParaphraseTable", "load_paraphrase_table", "Meteor15Params",
+           "load_function_words"]
 
 
 # ---- Porter stemmer ---------------------------------------------------------------
@@ -192,8 +199,10 @@ def _align(hyp: list, ref: list, stem_of=None, syn_of=None,
     the nearest unmatched reference position — the standard greedy
     approximation of METEOR's fewest-crossings tie-break.
 
-    Returns SPAN pairs ``((h_start, h_len), (r_start, r_len))`` sorted by
-    hypothesis position; the unigram stages produce length-1 spans, the
+    Returns SPAN triples ``((h_start, h_len), (r_start, r_len), stage)``
+    sorted by hypothesis position, where ``stage`` is the canonical matcher
+    index (0 exact, 1 stem, 2 synonym, 3 paraphrase — the METEOR-1.5
+    weight order); the unigram stages produce length-1 spans, the
     paraphrase stage whole-phrase spans (possibly of unequal lengths).
 
     ``syn_of``: token -> set of synonym-class ids (e.g. WordNet synsets);
@@ -207,10 +216,10 @@ def _align(hyp: list, ref: list, stem_of=None, syn_of=None,
     prefer the longest matchable hypothesis span, then the reference span
     with the nearest start (leftmost on ties, longest at that start)."""
     matched_r = [False] * len(ref)
-    spans: list[tuple[tuple[int, int], tuple[int, int]]] = []
+    spans: list[tuple[tuple[int, int], tuple[int, int], int]] = []
     matched_h = [False] * len(hyp)
 
-    def stage(key_h, key_r, hit):
+    def stage(key_h, key_r, hit, sid):
         for i, kh in enumerate(key_h):
             if matched_h[i]:
                 continue
@@ -224,7 +233,7 @@ def _align(hyp: list, ref: list, stem_of=None, syn_of=None,
             if best >= 0:
                 matched_h[i] = True
                 matched_r[best] = True
-                spans.append(((i, 1), (best, 1)))
+                spans.append(((i, 1), (best, 1), sid))
 
     def stage_paraphrase(ptab):
         i = 0
@@ -261,16 +270,16 @@ def _align(hyp: list, ref: list, stem_of=None, syn_of=None,
                 matched_h[i + k] = True
             for k in range(M):
                 matched_r[j + k] = True
-            spans.append(((i, L), (j, M)))
+            spans.append(((i, L), (j, M), 3))
             i += L
 
     eq = lambda a, b: a == b  # noqa: E731
-    stage(hyp, ref, eq)
+    stage(hyp, ref, eq, 0)
     if stem_of is not None:
-        stage([stem_of(t) for t in hyp], [stem_of(t) for t in ref], eq)
+        stage([stem_of(t) for t in hyp], [stem_of(t) for t in ref], eq, 1)
     if syn_of is not None:
         stage([syn_of(t) for t in hyp], [syn_of(t) for t in ref],
-              lambda a, b: bool(a and b and (a & b)))
+              lambda a, b: bool(a and b and (a & b)), 2)
     if para:
         stage_paraphrase(para)
     return sorted(spans)
@@ -284,13 +293,78 @@ def _chunks(spans) -> int:
     if not spans:
         return 0
     n = 1
-    for ((h1, hl), (r1, rl)), ((h2, _), (r2, _)) in zip(spans, spans[1:]):
+    for ((h1, hl), (r1, rl), _s1), ((h2, _), (r2, _), _s2) in zip(
+            spans, spans[1:]):
         if h2 != h1 + hl or r2 != r1 + rl:
             n += 1
     return n
 
 
-def meteor(hyp, refs, stem_of=None, syn_of=None, para=None) -> float:
+class Meteor15Params:
+    """METEOR-1.5 scoring parameters (Denkowski & Lavie 2014). Defaults are
+    the tuned English values of the reference's Java METEOR-1.5 jar
+    (reference: src/captioning/eval_utils.py:30-57):
+
+      * ``alpha`` — precision/recall balance in
+        ``Fmean = P·R / (α·P + (1−α)·R)``;
+      * ``beta``, ``gamma`` — fragmentation penalty ``γ·(ch/m)^β`` with
+        ``m`` the mean of hypothesis- and reference-side matched unigrams;
+      * ``weights`` — per-matcher-stage match weights in cascade order
+        (exact, stem, synonym, paraphrase);
+      * ``func_of`` — optional token -> bool predicate marking FUNCTION
+        words; content words weigh ``δ``, function words ``1−δ`` in the
+        weighted precision/recall. ``None`` treats every token as a content
+        word, where δ cancels (the no-function-word-list behavior).
+
+    Absolute parity with the jar additionally requires its bundled
+    function-word list / WordNet / paraphrase data (user-supplied here via
+    caption_options.meteor_function_words / meteor_synonyms /
+    meteor_paraphrases)."""
+
+    def __init__(self, alpha: float = 0.85, beta: float = 0.2,
+                 gamma: float = 0.6, delta: float = 0.75,
+                 weights: tuple = (1.0, 0.6, 0.8, 0.6), func_of=None):
+        self.alpha = float(alpha)
+        self.beta = float(beta)
+        self.gamma = float(gamma)
+        self.delta = float(delta)
+        self.weights = tuple(float(w) for w in weights)
+        if len(self.weights) != 4:
+            raise ValueError(
+                f"meteor weights must give all 4 cascade stages "
+                f"(exact, stem, synonym, paraphrase), got {weights!r}")
+        self.func_of = func_of
+
+
+def _score15(spans, hyp, ref, p15: Meteor15Params) -> float:
+    """METEOR-1.5 score of one alignment: stage-weighted, function-word-
+    weighted precision/recall, parameterized Fmean and penalty."""
+    delta = p15.delta
+    wt = ((lambda t: 1.0 - delta if p15.func_of(t) else delta)
+          if p15.func_of is not None else (lambda t: delta))
+    den_h = sum(wt(t) for t in hyp)
+    den_r = sum(wt(t) for t in ref)
+    mw_h = mw_r = 0.0
+    m_h = m_r = 0
+    for (h1, hl), (r1, rl), sid in spans:
+        w = p15.weights[sid]
+        mw_h += w * sum(wt(t) for t in hyp[h1:h1 + hl])
+        mw_r += w * sum(wt(t) for t in ref[r1:r1 + rl])
+        m_h += hl
+        m_r += rl
+    if m_h == 0 or den_h <= 0.0 or den_r <= 0.0:
+        return 0.0
+    p = mw_h / den_h
+    r = mw_r / den_r
+    if p == 0.0 or r == 0.0:
+        return 0.0
+    fmean = p * r / (p15.alpha * p + (1.0 - p15.alpha) * r)
+    frag = _chunks(spans) / ((m_h + m_r) / 2.0)
+    return fmean * (1.0 - p15.gamma * frag ** p15.beta)
+
+
+def meteor(hyp, refs, stem_of=None, syn_of=None, para=None,
+           params15: Meteor15Params | None = None) -> float:
     """METEOR score of one hypothesis against its references (best ref).
 
     hyp: token sequence; refs: list of token sequences. Tokens may be ints
@@ -300,12 +374,14 @@ def meteor(hyp, refs, stem_of=None, syn_of=None, para=None) -> float:
     reference METEOR-1.5's WordNet stage, given user-supplied synonym data —
     caption_options.meteor_synonyms). ``para``: optional
     :class:`ParaphraseTable` enabling the stage-4 phrase matcher
-    (caption_options.meteor_paraphrases).
+    (caption_options.meteor_paraphrases). ``params15``: optional
+    :class:`Meteor15Params` switching the SCORING from the 2005 formulation
+    to METEOR-1.5's (caption_options.meteor_params).
 
     With phrase matches the matched mass can differ per side: precision
     counts hypothesis words covered (m_h), recall reference words covered
-    (m_r); the fragmentation penalty uses m_h (METEOR's "matched unigrams"
-    are counted in the hypothesis). For unigram-only alignments
+    (m_r); the 2005 fragmentation penalty uses m_h (METEOR's "matched
+    unigrams" are counted in the hypothesis). For unigram-only alignments
     m_h == m_r == m, the exact 2005 formulation."""
     hyp = list(hyp)
     best = 0.0
@@ -314,8 +390,11 @@ def meteor(hyp, refs, stem_of=None, syn_of=None, para=None) -> float:
         if not hyp or not ref:
             continue
         spans = _align(hyp, ref, stem_of, syn_of, para)
-        m_h = sum(hl for (_, hl), _ in spans)
-        m_r = sum(rl for _, (_, rl) in spans)
+        if params15 is not None:
+            best = max(best, _score15(spans, hyp, ref, params15))
+            continue
+        m_h = sum(hl for (_, hl), _, _ in spans)
+        m_r = sum(rl for _, (_, rl), _ in spans)
         if m_h == 0:
             continue
         p = m_h / len(hyp)
@@ -336,12 +415,12 @@ def _strip_eos(row) -> list:
 
 
 def meteor_corpus(cands, gts_list, stem_of=None, syn_of=None,
-                  para=None) -> float:
+                  para=None, params15: Meteor15Params | None = None) -> float:
     """Mean METEOR over (candidate row, reference rows) pairs of int token
     rows (0-terminated, the framework's caption layout)."""
     scores = [
         meteor(_strip_eos(c), [_strip_eos(r) for r in np.asarray(refs)],
-               stem_of, syn_of, para)
+               stem_of, syn_of, para, params15)
         for c, refs in zip(cands, gts_list)
     ]
     return float(np.mean(scores)) if scores else 0.0
@@ -434,3 +513,24 @@ def load_paraphrase_table(path: str) -> ParaphraseTable:
             f"or a phrase->class dict, got {type(spec).__name__}"
         )
     return ParaphraseTable(table)
+
+
+def load_function_words(path: str) -> frozenset:
+    """User-supplied function-word list -> lowercased word frozenset, for
+    METEOR-1.5's δ weighting (an export of the jar's ``function/en.words``
+    is one word per line). Accepted formats: a JSON list of words, or a
+    plain text file with one word per line (``#`` comments ignored)."""
+    import json
+
+    with open(path) as f:
+        text = f.read()
+    try:
+        spec = json.loads(text)
+    except ValueError:
+        spec = [ln.strip() for ln in text.splitlines()
+                if ln.strip() and not ln.lstrip().startswith("#")]
+    if not isinstance(spec, list):
+        raise ValueError(
+            f"function-word list {path}: expected a JSON list of words or "
+            f"one word per line, got {type(spec).__name__}")
+    return frozenset(str(w).lower() for w in spec)

@@ -345,3 +345,119 @@ def test_coco_word_syn_of_from_caption_options(tmp_path):
     )
     assert out["METEOR"] > 0.0
     assert "synonym" in out["metric_notes"]["METEOR"]
+
+
+# ---- METEOR-1.5 scoring formulation -------------------------------------------------
+
+
+def test_meteor15_exact_match_defaults():
+    """Identical sentences under the 1.5 formulation: P=R=Fmean=1, one
+    chunk, so score = 1 - gamma * (1/n)^beta."""
+    from nes_img_captioning_tpu.fitness.meteor import Meteor15Params
+
+    p15 = Meteor15Params()
+    hyp = ["a", "cat", "sat", "there"]
+    assert meteor(hyp, [list(hyp)], params15=p15) == pytest.approx(
+        1.0 - 0.6 * (1.0 / 4.0) ** 0.2)
+
+
+def test_meteor15_stage_weight_stem():
+    """A stem-only match carries weight 0.6: P=R=0.6, Fmean=0.6, frag=1,
+    score = 0.6 * (1 - 0.6) = 0.24 (delta cancels with no function list)."""
+    from nes_img_captioning_tpu.fitness.meteor import Meteor15Params
+
+    p15 = Meteor15Params()
+    s = meteor(["running"], [["runs"]], stem_of=lambda w: porter_stem(w),
+               params15=p15)
+    assert s == pytest.approx(0.6 * (1.0 - 0.6))
+
+
+def test_meteor15_function_word_weighting():
+    """Missing a FUNCTION word is penalized less than missing a content
+    word: with hyp=[c,f] vs ref=[c,g] only c matches; weighted P=R=0.75
+    (vs 0.5 unweighted), so the function-word score is higher."""
+    from nes_img_captioning_tpu.fitness.meteor import Meteor15Params
+
+    hyp, ref = ["cat", "the"], ["cat", "an"]
+    no_fw = Meteor15Params()
+    with_fw = Meteor15Params(func_of=lambda w: w in ("the", "an", "a"))
+    s0 = meteor(hyp, [ref], params15=no_fw)
+    s1 = meteor(hyp, [ref], params15=with_fw)
+    # hand-computed: Fmean = P = R; frag = 1; penalty = 0.6
+    assert s0 == pytest.approx(0.5 * (1.0 - 0.6))
+    assert s1 == pytest.approx(0.75 * (1.0 - 0.6))
+    assert s1 > s0
+
+
+def test_meteor15_reduces_to_corpus_mean():
+    from nes_img_captioning_tpu.fitness.meteor import Meteor15Params
+
+    p15 = Meteor15Params()
+    cands = np.asarray([[1, 2, 3, 0], [4, 5, 0, 0]])
+    gts = [np.asarray([[1, 2, 3, 0]]), np.asarray([[9, 9, 0, 0]])]
+    per = [meteor([1, 2, 3], [[1, 2, 3]], params15=p15),
+           meteor([4, 5], [[9, 9]], params15=p15)]
+    assert meteor_corpus(cands, gts, params15=p15) == pytest.approx(
+        np.mean(per))
+
+
+def test_meteor15_weights_validation():
+    from nes_img_captioning_tpu.fitness.meteor import Meteor15Params
+
+    with pytest.raises(ValueError):
+        Meteor15Params(weights=(1.0, 0.6))
+
+
+def test_load_function_words_formats(tmp_path):
+    from nes_img_captioning_tpu.fitness.meteor import load_function_words
+
+    j = tmp_path / "fw.json"
+    j.write_text('["The", "a", "of"]')
+    assert load_function_words(str(j)) == frozenset({"the", "a", "of"})
+
+    t = tmp_path / "fw.words"
+    t.write_text("the\n# comment\na\n\nof\n")
+    assert load_function_words(str(t)) == frozenset({"the", "a", "of"})
+
+
+def test_coco_meteor_params_from_caption_options(tmp_path):
+    """caption_options.meteor_params + meteor_function_words wire the 1.5
+    formulation through CocoData into word-id space, and language_eval
+    reports it in the metric note."""
+    import json
+
+    from nes_img_captioning_tpu.data.mscoco import CocoData
+    from nes_img_captioning_tpu.data.synthetic import make_synthetic_coco
+
+    copts = make_synthetic_coco(str(tmp_path / "d"), n_train=24, n_val=8,
+                                n_test=8, vocab_size=20, fc_feat_size=16)
+    info = json.load(open(copts["input_json"]))
+    fw_path = tmp_path / "fw.json"
+    fw_path.write_text(json.dumps([info["ix_to_word"]["2"],
+                                   info["ix_to_word"]["3"]]))
+
+    data = CocoData(dict(copts, meteor_params={"gamma": 0.5},
+                         meteor_function_words=str(fw_path)))
+    p15 = data.meteor_params()
+    assert p15 is not None and p15.gamma == 0.5 and p15.alpha == 0.85
+    wid = lambda t: int(data.word_id_rows(np.asarray([t]))[0])  # noqa: E731
+    assert p15.func_of(wid(2)) and not p15.func_of(wid(1))
+
+    # bare true -> tuned defaults, no function list
+    data2 = CocoData(dict(copts, meteor_params=True))
+    p = data2.meteor_params()
+    assert p is not None and p.func_of is None and p.gamma == 0.6
+
+    # unset -> None (2005 formulation stays the default)
+    assert CocoData(copts).meteor_params() is None
+
+    rows = lambda a: np.asarray([list(a) + [0]])  # noqa: E731
+    out = language_eval(
+        data.word_id_rows(rows([1, 2])), [data.word_id_rows(rows([1, 3]))],
+        stem_of=data.word_stem_of, params15=p15,
+    )
+    assert "METEOR-1.5" in out["metric_notes"]["METEOR"]
+    # only the content word matches; the unmatched word is a FUNCTION word
+    # on both sides, so weighted P = R = 0.75, Fmean = 0.75; one chunk over
+    # one match -> frag = 1, penalty = gamma = 0.5
+    assert out["METEOR"] == pytest.approx(0.75 * (1.0 - 0.5))

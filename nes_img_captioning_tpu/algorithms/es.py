@@ -600,6 +600,7 @@ class ESMaster:
         )
 
         self._rng = np.random.default_rng(self.tpu_cfg.seed)
+        self._pending_loader_state = None  # set by a from_infos resume
         self._theta_cache: dict = {}
         # device-resident thetas of the current elite candidates, keyed by
         # their .pth path: the files are the podium/checkpoint surface, but
@@ -689,6 +690,9 @@ class ESMaster:
             self.stats.init_from_infos(infos)
             self.it.init_from_infos(infos)
             self.experiment.init_from_infos(infos)
+            from .snapshot import load_loader_state
+
+            self._pending_loader_state = load_loader_state(exp["from_infos"])
             thetas, paths = [], []
             for i, (_, path) in enumerate(infos["parents"]):
                 thetas.append(spec.load_pth(path))
@@ -1327,13 +1331,13 @@ class ESMaster:
                 self._profile_hook(it.iteration())
 
                 sigma, bs = it.get_noise_stdev(), it.batch_size()
-                from ..data.core import EpochSampler
-
                 if not hasattr(self, "_sampler") or self._sampler is None:
-                    self._sampler = EpochSampler(
-                        self.task.train_n,
-                        seed=int(self._rng.integers(0, 2**31 - 1)),
-                    )
+                    from ..data.core import build_sampler
+
+                    self._sampler = build_sampler(
+                        self.task.train_n, self._rng,
+                        self._pending_loader_state)
+                    self._pending_loader_state = None  # rebuilds start fresh
 
                 if b > 1:
                     # blocks never contain a schedule firing, so no sampler
@@ -1437,6 +1441,13 @@ class ESMaster:
             "elites_to_evaluate": list(self.elites_to_evaluate),
             "parents": parents,
         }
-        save_snapshot(self.stats, self.it, self.experiment)
+        save_snapshot(self.stats, self.it, self.experiment,
+                      loader_state=self.loader_state())
         if plot:
             self.stats.plot_stats(self.experiment.snapshot_dir())
+
+    def loader_state(self) -> dict | None:
+        """EpochSampler stream position for the snapshot sidecar (None
+        before the first batch draw)."""
+        sampler = getattr(self, "_sampler", None)
+        return sampler.state_dict() if sampler else None

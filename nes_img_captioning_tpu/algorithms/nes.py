@@ -661,6 +661,7 @@ class NESMaster:
         # deferred-slot-file flag (see _materialize_podium)
         self._elites_dev = None
         self._podium_dirty = False
+        self._pending_loader_state = None  # set by a from_infos resume
         self._init_theta(exp)
         self._sampler = None  # built lazily; rebuilt on annealing
 
@@ -718,6 +719,9 @@ class NESMaster:
             self.stats.init_from_infos(infos)
             self.it.init_from_infos(infos)
             self.experiment.init_from_infos(infos)
+            from .snapshot import load_loader_state
+
+            self._pending_loader_state = load_loader_state(exp["from_infos"])
             theta = spec.load_pth(infos["current_model"])
         elif exp.get("from_single"):
             theta = spec.load_pth(exp["from_single"])
@@ -757,13 +761,18 @@ class NESMaster:
         multiples internally, so no pairs are dropped."""
         return max(self.exp["nb_offspring"], 1)
 
-    def _draw_batches(self, F: int, bs: int) -> np.ndarray:
-        from ..data.core import EpochSampler
+    def loader_state(self) -> dict | None:
+        """EpochSampler stream position for the snapshot sidecar (None
+        before the first batch draw)."""
+        return self._sampler.state_dict() if self._sampler else None
 
+    def _draw_batches(self, F: int, bs: int) -> np.ndarray:
         if self._sampler is None:
-            self._sampler = EpochSampler(
-                self.task.train_n, seed=int(self._rng.integers(0, 2**31 - 1))
-            )
+            from ..data.core import build_sampler
+
+            self._sampler = build_sampler(
+                self.task.train_n, self._rng, self._pending_loader_state)
+            self._pending_loader_state = None  # anneal rebuilds start fresh
         if self.config.single_batch:
             row = self._sampler.batch(bs)
             return np.tile(row, (F, 1))
@@ -1075,7 +1084,8 @@ class NESMaster:
         if config.snapshot_freq and it.iteration() % config.snapshot_freq == 0:
             self._materialize_podium()  # z_info references podium slots
             self._write_current_model()  # z_info references this file
-            save_snapshot(stats, it, self.experiment)
+            save_snapshot(stats, it, self.experiment,
+                          loader_state=self.loader_state())
             self._last_snapshot_iter = it.iteration()
             if plot:
                 stats.plot_stats(self.experiment.snapshot_dir())
@@ -1208,7 +1218,8 @@ class NESMaster:
         if getattr(self, "_last_snapshot_iter", None) != it.iteration():
             self._materialize_podium()  # settle deferred podium slot files
             self._write_current_model()
-            save_snapshot(stats, it, self.experiment)
+            save_snapshot(stats, it, self.experiment,
+                          loader_state=self.loader_state())
             if plot:
                 stats.plot_stats(self.experiment.snapshot_dir())
         return self.theta

@@ -17,12 +17,20 @@ from ..utils.files import mkdir_p, remove_file_with_pattern
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["save_snapshot"]
+__all__ = ["save_snapshot", "load_loader_state", "LOADER_STATE_FILE"]
 
 INFOS_PATTERN = r"z_info_e[0-9]*?_i[0-9]*?-[0-9]*?.json"
 
+# Sidecar with the epoch sampler's stream position (EpochSampler.state_dict)
+# — ADDITIVE next to the reference-format z_info, so the z_info schema and
+# key set stay bit-compatible with the reference. The reference does not
+# checkpoint dataloader position at all (its loaders restart at 0 on
+# resume, src/captioning/dataloader.py:238-240); with this sidecar a resume
+# continues the exact batch stream.
+LOADER_STATE_FILE = "z_loader_state.json"
 
-def save_snapshot(stats, it, experiment) -> str:
+
+def save_snapshot(stats, it, experiment, loader_state: dict | None = None) -> str:
     directory = mkdir_p(experiment.snapshot_dir())
     remove_file_with_pattern(INFOS_PATTERN, directory)
     filename = "z_info_e{e}_i{i}-{n}.json".format(
@@ -33,5 +41,23 @@ def save_snapshot(stats, it, experiment) -> str:
     assert not os.path.exists(path)
     with open(path, "w") as f:
         json.dump(infos, f)
+    side = os.path.join(directory, LOADER_STATE_FILE)
+    if loader_state is not None:
+        with open(side, "w") as f:
+            json.dump(loader_state, f)
+    elif os.path.exists(side):
+        # no live sampler at this snapshot: a stale sidecar would rewind a
+        # later resume to an older stream position
+        os.remove(side)
     logger.info("Saved snapshot %s", filename)
     return path
+
+
+def load_loader_state(infos_path: str) -> dict | None:
+    """The loader-state sidecar next to a z_info file (from_infos resume),
+    or None when absent (reference-made or pre-sidecar checkpoints)."""
+    side = os.path.join(os.path.dirname(infos_path), LOADER_STATE_FILE)
+    if not os.path.exists(side):
+        return None
+    with open(side) as f:
+        return json.load(f)

@@ -4,7 +4,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["DeviceDataset", "EpochSampler"]
+__all__ = ["DeviceDataset", "EpochSampler", "build_sampler"]
 
 
 class DeviceDataset:
@@ -41,12 +41,40 @@ class EpochSampler:
     def __init__(self, n: int, seed: int | None = 0):
         self.n = int(n)
         self._rng = np.random.default_rng(seed)
+        self._refill()
+
+    def _refill(self):
+        # pre-permutation rng state: state_dict() stores it so a restored
+        # sampler can redraw this exact permutation
+        self._perm_rng_state = self._rng.bit_generator.state
         self._perm = self._rng.permutation(self.n)
         self._pos = 0
 
-    def _refill(self):
-        self._perm = self._rng.permutation(self.n)
-        self._pos = 0
+    def state_dict(self) -> dict:
+        """JSON-serializable snapshot of the full stream position: the rng
+        state before the live permutation was drawn (to redraw it), the
+        offset into it, and the CURRENT rng state (batch wraps and
+        member_batches advance the rng past the permutation draw). A
+        restored sampler continues the index stream exactly where the
+        checkpointed one stopped — closing the reference's
+        dataloader-position-not-restored resume gap
+        (reference: src/captioning/dataloader.py:238-240, the loaders
+        restart at position 0 after from_infos)."""
+        return {
+            "n": self.n,
+            "pos": int(self._pos),
+            "perm_rng_state": self._perm_rng_state,
+            "rng_state": self._rng.bit_generator.state,
+        }
+
+    @classmethod
+    def from_state_dict(cls, state: dict) -> "EpochSampler":
+        self = cls(int(state["n"]), seed=0)
+        self._rng.bit_generator.state = state["perm_rng_state"]
+        self._refill()
+        self._pos = int(state["pos"])
+        self._rng.bit_generator.state = state["rng_state"]
+        return self
 
     def batch(self, bs: int) -> np.ndarray:
         """Next (bs,) indices from the epoch stream (wraps with reshuffle)."""
@@ -72,3 +100,22 @@ class EpochSampler:
 
     def batches_per_epoch(self, bs: int) -> int:
         return max(self.n // bs, 1)
+
+
+def build_sampler(train_n: int, rng, pending_state: dict | None = None
+                  ) -> EpochSampler:
+    """Fresh epoch sampler, or one restored from a checkpoint's
+    z_loader_state sidecar (algorithms/snapshot.load_loader_state) so a
+    from_infos resume continues the exact batch stream. A stale sidecar
+    whose dataset size no longer matches is ignored with a warning (e.g.
+    resuming against different data)."""
+    if pending_state is not None:
+        if int(pending_state.get("n", -1)) == int(train_n):
+            return EpochSampler.from_state_dict(pending_state)
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "loader-state sidecar is for %s training samples but the task "
+            "has %s — starting a fresh epoch stream",
+            pending_state.get("n"), train_n)
+    return EpochSampler(train_n, seed=int(rng.integers(0, 2**31 - 1)))

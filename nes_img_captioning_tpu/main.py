@@ -100,7 +100,8 @@ def run(argv=None):
     except KeyboardInterrupt:
         from .algorithms.snapshot import save_snapshot
 
-        save_snapshot(master.stats, master.it, master.experiment)
+        save_snapshot(master.stats, master.it, master.experiment,
+                      loader_state=master.loader_state())
         if args.plot:
             master.stats.plot_stats(master.experiment.snapshot_dir())
     return master

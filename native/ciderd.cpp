@@ -101,6 +101,7 @@ struct Scorer {
     double sigma;   // length-penalty sigma
     bool clip;      // CIDEr-D: clip counts + length penalty
     double ref_len; // log(#images)
+    bool df_frozen = false;  // external table installed via cider_set_df
     FlatMap df[MAX_N];
     std::vector<Image> images;
 
@@ -148,30 +149,52 @@ void* cider_new(int n, double sigma, int clip) {
 
 void cider_free(void* h) { delete static_cast<Scorer*>(h); }
 
+// Install a FROZEN document-frequency table (the reference's pickled
+// coco-train-idxs blob, loaded host-side): keys are pack()-format uint64
+// n-grams, orders their n, ref_len the table's own log(N) constant. Must be
+// called BEFORE cider_fit — the fit then skips its DF pass and builds the
+// per-image reference vectors against this table, so absolute scores match
+// the reference's training fitness (src/captioning/policies.py:72).
+void cider_set_df(void* hp, const uint64_t* keys, const float* vals,
+                  const int32_t* orders, int64_t n_keys, double ref_len) {
+    auto* s = static_cast<Scorer*>(hp);
+    std::unordered_map<uint64_t, float> acc[MAX_N];
+    for (int64_t i = 0; i < n_keys; ++i) {
+        int o = orders[i];
+        if (o >= 1 && o <= s->n) acc[o - 1][keys[i]] = vals[i];
+    }
+    for (int i = 0; i < s->n; ++i) s->df[i].build(acc[i]);
+    s->ref_len = ref_len;
+    s->df_frozen = true;
+}
+
 // refs: (n_rows, T) int32; img_ptr: (n_images+1) row ranges per image.
 // Builds the DF table and per-reference tf-idf vectors.
 void cider_fit(void* hp, const int32_t* refs, int64_t n_rows, int T,
                const int64_t* img_ptr, int64_t n_images) {
     auto* s = static_cast<Scorer*>(hp);
     s->images.assign(n_images, Image());
-    s->ref_len = std::log((double)(n_images < 1 ? 1 : n_images));
 
-    // pass 1: document frequencies (count images, not captions)
-    std::unordered_map<uint64_t, float> df_acc[MAX_N];
-    std::unordered_map<uint64_t, int> seen[MAX_N];
-    for (int64_t im = 0; im < n_images; ++im) {
-        for (int i = 0; i < s->n; ++i) seen[i].clear();
-        for (int64_t r = img_ptr[im]; r < img_ptr[im + 1]; ++r) {
-            const int32_t* row = refs + r * T;
-            int L = cut_len(row, T);
-            for (int n = 1; n <= s->n; ++n)
-                for (int i = 0; i + n <= L; ++i)
-                    seen[n - 1][pack(row, i, n)] = 1;
+    // pass 1: document frequencies (count images, not captions) — skipped
+    // when a frozen table was installed via cider_set_df
+    if (!s->df_frozen) {
+        s->ref_len = std::log((double)(n_images < 1 ? 1 : n_images));
+        std::unordered_map<uint64_t, float> df_acc[MAX_N];
+        std::unordered_map<uint64_t, int> seen[MAX_N];
+        for (int64_t im = 0; im < n_images; ++im) {
+            for (int i = 0; i < s->n; ++i) seen[i].clear();
+            for (int64_t r = img_ptr[im]; r < img_ptr[im + 1]; ++r) {
+                const int32_t* row = refs + r * T;
+                int L = cut_len(row, T);
+                for (int n = 1; n <= s->n; ++n)
+                    for (int i = 0; i + n <= L; ++i)
+                        seen[n - 1][pack(row, i, n)] = 1;
+            }
+            for (int i = 0; i < s->n; ++i)
+                for (auto& kv : seen[i]) df_acc[i][kv.first] += 1.0f;
         }
-        for (int i = 0; i < s->n; ++i)
-            for (auto& kv : seen[i]) df_acc[i][kv.first] += 1.0f;
+        for (int i = 0; i < s->n; ++i) s->df[i].build(df_acc[i]);
     }
-    for (int i = 0; i < s->n; ++i) s->df[i].build(df_acc[i]);
 
     // pass 2: per-image sorted union tables with per-ref tf-idf columns
     CandCounts cc;

@@ -43,8 +43,14 @@ def save_snapshot(stats, it, experiment, loader_state: dict | None = None) -> st
         json.dump(infos, f)
     side = os.path.join(directory, LOADER_STATE_FILE)
     if loader_state is not None:
-        with open(side, "w") as f:
-            json.dump(loader_state, f)
+        # atomic write, stamped with the z_info it belongs to: a crash
+        # between the two writes must not leave a previous-iteration sidecar
+        # silently rewinding a later resume's batch stream
+        payload = {**loader_state, "z_info": filename}
+        tmp = side + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+        os.replace(tmp, side)
     elif os.path.exists(side):
         # no live sampler at this snapshot: a stale sidecar would rewind a
         # later resume to an older stream position
@@ -55,9 +61,20 @@ def save_snapshot(stats, it, experiment, loader_state: dict | None = None) -> st
 
 def load_loader_state(infos_path: str) -> dict | None:
     """The loader-state sidecar next to a z_info file (from_infos resume),
-    or None when absent (reference-made or pre-sidecar checkpoints)."""
+    or None when absent (reference-made or pre-sidecar checkpoints) or when
+    it is stamped for a DIFFERENT z_info (crash between the two snapshot
+    writes) — resuming with a mismatched sidecar would silently rewind the
+    batch stream to an older position."""
     side = os.path.join(os.path.dirname(infos_path), LOADER_STATE_FILE)
     if not os.path.exists(side):
         return None
     with open(side) as f:
-        return json.load(f)
+        state = json.load(f)
+    stamp = state.pop("z_info", None)
+    if stamp is not None and stamp != os.path.basename(infos_path):
+        logger.warning(
+            "loader-state sidecar is stamped for %s but resuming %s — "
+            "ignoring it (fresh epoch stream)",
+            stamp, os.path.basename(infos_path))
+        return None
+    return state

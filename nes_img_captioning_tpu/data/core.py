@@ -109,13 +109,20 @@ def build_sampler(train_n: int, rng, pending_state: dict | None = None
     from_infos resume continues the exact batch stream. A stale sidecar
     whose dataset size no longer matches is ignored with a warning (e.g.
     resuming against different data)."""
+    import logging
+
+    log = logging.getLogger(__name__)
     if pending_state is not None:
         if int(pending_state.get("n", -1)) == int(train_n):
-            return EpochSampler.from_state_dict(pending_state)
-        import logging
-
-        logging.getLogger(__name__).warning(
-            "loader-state sidecar is for %s training samples but the task "
-            "has %s — starting a fresh epoch stream",
-            pending_state.get("n"), train_n)
+            try:
+                return EpochSampler.from_state_dict(pending_state)
+            except Exception as e:  # corrupt/hand-edited/foreign-BitGenerator
+                log.warning(
+                    "loader-state sidecar could not be restored (%s: %s) — "
+                    "starting a fresh epoch stream", type(e).__name__, e)
+        else:
+            log.warning(
+                "loader-state sidecar is for %s training samples but the "
+                "task has %s — starting a fresh epoch stream",
+                pending_state.get("n"), train_n)
     return EpochSampler(train_n, seed=int(rng.integers(0, 2**31 - 1)))

@@ -28,12 +28,22 @@ reference set contains the n-gram; ref_len = log(#images)). ``corpus`` mode
 validation scoring.
 
 Scale note: the reference's frozen table bakes in its own ref_len constant,
-so absolute CIDEr-D *fitness* values here differ from the reference's by an
-(approximately) constant idf scale. This is benign for training equivalence:
-NIC-NES uses centered RANKS of the fitnesses (invariant under monotone
-transforms) and NIC-ES selects by SORTING them — the evolution trajectory
-statistics are unaffected. Validation/test CIDEr (corpus mode) follows the
-pycocoevalcap convention and is directly comparable.
+so absolute CIDEr-D *fitness* values from a rebuilt table differ from the
+reference's by an (approximately) constant idf scale. This is benign for
+training equivalence: NIC-NES uses centered RANKS of the fitnesses (invariant
+under monotone transforms) and NIC-ES selects by SORTING them — the evolution
+trajectory statistics are unaffected. Validation/test CIDEr (corpus mode)
+follows the pycocoevalcap convention and is directly comparable.
+
+When the user CAN supply the reference's actual pickled table
+(``caption_options.cider_df`` -> :func:`load_df_pickle` -> ``set_df``),
+absolute training-fitness parity is restored: the pickle is the
+``{'document_frequency': {ngram tuple: count}, 'ref_len': log(N)}`` blob the
+``cider`` submodule consumes for ``CiderD(df='coco-train-idxs')``
+(reference: src/captioning/policies.py:72; the submodule loads it from
+data/coco-train-idxs.p). N-gram keys there are tuples of token-id STRINGS
+(the reference scores ``array_to_str`` id strings); we map them into this
+module's int-tuple space.
 """
 
 from __future__ import annotations
@@ -42,7 +52,46 @@ from collections import defaultdict
 
 import numpy as np
 
-__all__ = ["CiderScorer", "cut_at_eos", "ngram_counts"]
+__all__ = ["CiderScorer", "cut_at_eos", "ngram_counts", "load_df_pickle"]
+
+
+def load_df_pickle(path: str, n_max: int = 4):
+    """Load a reference-format frozen DF pickle -> (df, ref_len) for
+    :meth:`CiderScorer.set_df`.
+
+    Format (what ``CiderD(df='coco-train-idxs')`` consumes,
+    reference: src/captioning/policies.py:72): a pickled dict
+    ``{'document_frequency': {ngram tuple: count}, 'ref_len': log(N)}``.
+    The table is produced by self-critical.pytorch's prepro_ngrams over
+    cocotalk token ids, so ngram keys are tuples of id STRINGS ('271', ...);
+    int keys are accepted too. Orders above ``n_max`` are dropped. Loaded
+    with ``encoding='latin1'`` — the published table is a Python-2 pickle."""
+    import pickle
+
+    with open(path, "rb") as f:
+        blob = pickle.load(f, encoding="latin1")
+    try:
+        raw = blob["document_frequency"]
+        ref_len = float(blob["ref_len"])
+    except (TypeError, KeyError) as e:
+        raise ValueError(
+            f"cider_df {path}: expected a pickled dict with "
+            f"'document_frequency' and 'ref_len' keys (the cider "
+            f"submodule's coco-train-idxs format), got {type(blob).__name__}"
+        ) from e
+    df: list[dict] = [{} for _ in range(n_max)]
+    for g, count in raw.items():
+        try:
+            key = tuple(int(t) for t in g)
+        except (TypeError, ValueError) as e:
+            raise ValueError(
+                f"cider_df {path}: n-gram key {g!r} is not a tuple of "
+                f"token ids — this loader expects an id-space table "
+                f"(prepro_ngrams output), not a word-string table"
+            ) from e
+        if 1 <= len(key) <= n_max:
+            df[len(key) - 1][key] = float(count)
+    return df, ref_len
 
 
 def cut_at_eos(seq) -> tuple:
@@ -99,6 +148,16 @@ class CiderScorer:
                     df[n_i][g] += 1
         self.df = [dict(d) for d in df]
         self.ref_len = float(np.log(max(len(gts_tokens), 1)))
+        return self
+
+    def set_df(self, df: list[dict], ref_len: float) -> "CiderScorer":
+        """Install a FROZEN document-frequency table (e.g. the reference's
+        coco-train-idxs via :func:`load_df_pickle`) instead of fitting one:
+        absolute scores then match the reference's training fitness exactly
+        (rebuilt tables differ by a constant idf scale — module docstring)."""
+        assert len(df) <= self.n
+        self.df = [dict(d) for d in df] + [{} for _ in range(self.n - len(df))]
+        self.ref_len = float(ref_len)
         return self
 
     # ---- vector construction -----------------------------------------------------

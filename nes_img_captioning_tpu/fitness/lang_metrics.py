@@ -181,6 +181,11 @@ def language_eval(cands, gts_list, stem_of=None, syn_of=None, para=None,
     from .meteor import meteor_corpus
     from .scorer import IndexedCiderScorer
 
+    # The aligner gates the phrase stage on truthiness (meteor._align:283);
+    # an all-out-of-vocab paraphrase file yields an empty falsy table that
+    # never fires — normalize here so the metric note agrees with what ran.
+    para = para or None
+
     bleus = corpus_bleu(cands, gts_list)
     cider = IndexedCiderScorer(gts_list, variant="cider")
     mean_cider, _ = cider.score(np.asarray(cands), np.arange(len(cands)))

@@ -21,7 +21,8 @@ from .ciderd import CiderScorer
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["IndexedCiderScorer", "load_native", "native_available"]
+__all__ = ["IndexedCiderScorer", "load_native", "native_available",
+           "pack_ngram_u64"]
 
 _NATIVE_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
@@ -62,6 +63,12 @@ def load_native():
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
         ctypes.c_int, ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_double),
     ]
+    if hasattr(lib, "cider_set_df"):
+        lib.cider_set_df.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64, ctypes.c_double,
+        ]
     _lib = lib
     return _lib
 
@@ -74,28 +81,67 @@ def _as_i32(a):
     return np.ascontiguousarray(a, dtype=np.int32)
 
 
+def pack_ngram_u64(g: tuple) -> int:
+    """The native core's n-gram key: 16-bit fields of token+1, first token
+    highest among the used fields (native/ciderd.cpp pack())."""
+    h = 0
+    for t in g:
+        h = ((h << 16) | ((int(t) + 1) & 0xFFFF)) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
 class IndexedCiderScorer:
-    """Fit on per-image reference lists, score candidates by image index."""
+    """Fit on per-image reference lists, score candidates by image index.
+
+    ``frozen_df``: optional ``(df, ref_len)`` from
+    :func:`~nes_img_captioning_tpu.fitness.ciderd.load_df_pickle` — score
+    against the reference's frozen coco-train-idxs table instead of fitting
+    DF from ``gts_list`` (absolute training-fitness parity, reference:
+    src/captioning/policies.py:72)."""
 
     def __init__(self, gts_list: list, variant: str = "cider-d",
-                 n: int = 4, sigma: float = 6.0, prefer_native: bool = True):
+                 n: int = 4, sigma: float = 6.0, prefer_native: bool = True,
+                 frozen_df: tuple | None = None):
         self.variant = variant
         self.n, self.sigma = n, sigma
         self._gts = [np.asarray(g, dtype=np.int32) for g in gts_list]
         self._native = None
         self._py = None
-        if prefer_native and load_native() is not None:
-            self._fit_native()
+        native_ok = prefer_native and load_native() is not None
+        if native_ok and frozen_df is not None:
+            # cider_set_df arrived with this feature; a stale prebuilt .so
+            # may lack it — fall back to python rather than mis-score
+            native_ok = hasattr(load_native(), "cider_set_df")
+        if native_ok:
+            self._fit_native(frozen_df)
         else:
-            self._fit_python()
+            self._fit_python(frozen_df)
 
     # ---- native path -------------------------------------------------------------
 
-    def _fit_native(self):
+    def _fit_native(self, frozen_df=None):
         lib = load_native()
         self._native = ctypes.c_void_p(lib.cider_new(
             self.n, self.sigma, 1 if self.variant == "cider-d" else 0
         ))
+        if frozen_df is not None:
+            df, ref_len = frozen_df
+            keys, vals, orders = [], [], []
+            for n_i, order_df in enumerate(df):
+                for g, count in order_df.items():
+                    keys.append(pack_ngram_u64(g))
+                    vals.append(float(count))
+                    orders.append(n_i + 1)
+            keys = np.asarray(keys, np.uint64)
+            vals = np.asarray(vals, np.float32)
+            orders = np.asarray(orders, np.int32)
+            lib.cider_set_df(
+                self._native,
+                keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+                vals.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                orders.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                len(keys), float(ref_len),
+            )
         T = max((g.shape[1] for g in self._gts), default=1)
         rows = []
         ptr = [0]
@@ -115,9 +161,12 @@ class IndexedCiderScorer:
         )
         self._T = T
 
-    def _fit_python(self):
+    def _fit_python(self, frozen_df=None):
         self._py = CiderScorer(n=self.n, sigma=self.sigma, variant=self.variant)
-        self._py.fit_df(self._gts)
+        if frozen_df is not None:
+            self._py.set_df(*frozen_df)
+        else:
+            self._py.fit_df(self._gts)
 
     # ---- scoring ------------------------------------------------------------------
 

@@ -120,7 +120,7 @@ class DeviceCider:
     worker and reused forever (src/captioning/policies.py:72)."""
 
     def __init__(self, gts_list: list, variant: str = "cider-d",
-                 n: int = 4, sigma: float = 6.0):
+                 n: int = 4, sigma: float = 6.0, frozen_df: tuple | None = None):
         assert variant in ("cider-d", "cider")
         assert n == 4, "window packing is specialized to n_max=4"
         self.variant = variant
@@ -135,8 +135,15 @@ class DeviceCider:
             "vocab too large for 14-bit window packing"
 
         # DF over the reference corpus (the host oracle defines the ground
-        # truth for both the table and the per-ref norms)
-        fitted = CiderScorer(n=n, sigma=sigma, variant=variant).fit_df(gts)
+        # truth for both the table and the per-ref norms) — or the user-
+        # supplied frozen coco-train-idxs table (fitness/ciderd.py
+        # load_df_pickle; absolute parity with the reference's
+        # CiderD(df='coco-train-idxs'), src/captioning/policies.py:72)
+        if frozen_df is not None:
+            scorer = CiderScorer(n=n, sigma=sigma, variant=variant)
+            fitted = scorer.set_df(*frozen_df)
+        else:
+            fitted = CiderScorer(n=n, sigma=sigma, variant=variant).fit_df(gts)
         self.ref_len = float(fitted.ref_len)
         idf_by_key: dict[tuple[int, int], float] = {}
         stored = []
@@ -144,7 +151,10 @@ class DeviceCider:
             for g, df in order_df.items():
                 idf = self.ref_len - np.log(max(df, 1.0))
                 idf_by_key[_pack_tuple(g)] = idf
-                if df >= 2:
+                # df in {0 (miss), 1} both give idf == ref_len, the lookup
+                # miss default — only df > 1 needs a table slot (frozen
+                # tables carry float counts, so the test is > 1.0, not >= 2)
+                if df > 1.0:
                     stored.append((*_pack_tuple(g), idf))
         self._build_table(stored)
         self._build_refs(gts, idf_by_key)

@@ -76,6 +76,25 @@ class CocoTask(Task):
         self.val_gts = self.data.split_gts("val")
         self.test_gts = self.data.split_gts("test")
 
+        # optional frozen DF table for absolute training-fitness parity with
+        # the reference's CiderD(df='coco-train-idxs')
+        # (src/captioning/policies.py:72): caption_options.cider_df points
+        # at the cider submodule's pickled table (fitness/ciderd.py
+        # load_df_pickle documents the format). Unset -> DF rebuilt from the
+        # train ground truths (rank-equivalent, constant idf-scale offset).
+        self._frozen_df = None
+        if copts.get("cider_df"):
+            from ..fitness.ciderd import load_df_pickle
+
+            self._frozen_df = load_df_pickle(copts["cider_df"])
+            logger.info(
+                "loaded frozen CIDEr-D DF table %s (%d n-grams, ref_len "
+                "%.4f) — absolute fitness parity with the reference",
+                copts["cider_df"],
+                sum(len(d) for d in self._frozen_df[0]),
+                self._frozen_df[1],
+            )
+
         self._train_scorer = None
         self._val_scorer = None
         # predictions artifact destination (reference: the eval dir each
@@ -127,7 +146,9 @@ class CocoTask(Task):
 
             logger.info("building on-device CIDEr-D scorer "
                         "(%d train images)", len(self.train_gts))
-            self._device_cider = DeviceCider(self.train_gts, variant="cider-d")
+            self._device_cider = DeviceCider(
+                self.train_gts, variant="cider-d", frozen_df=self._frozen_df
+            )
 
         # decode-ordered layout: lets the NES engine move the per-member
         # transpose/pad work off the eval hot path (ops/decode_layout.py);
@@ -175,7 +196,7 @@ class CocoTask(Task):
             logger.info("fitting CIDEr-D DF over %d train images",
                         len(self.train_gts))
             self._train_scorer = IndexedCiderScorer(
-                self.train_gts, variant="cider-d"
+                self.train_gts, variant="cider-d", frozen_df=self._frozen_df
             )
         return self._train_scorer
 

@@ -55,6 +55,76 @@ def test_build_sampler_ignores_mismatched_sidecar(caplog):
     np.testing.assert_array_equal(s2.batch(4), a.batch(4))
 
 
+def test_build_sampler_survives_corrupt_sidecar(caplog):
+    """A hand-edited/corrupt sidecar (missing keys, foreign BitGenerator
+    state) must degrade to a fresh stream, not abort the whole resume
+    (ADVICE r4)."""
+    import logging
+
+    rng = np.random.default_rng(0)
+    for bad in (
+        {"n": 10},  # missing pos/perm_rng_state/rng_state
+        {"n": 10, "pos": 0, "perm_rng_state": {"bit_generator": "MT19937"},
+         "rng_state": {"bit_generator": "MT19937"}},  # foreign generator
+    ):
+        caplog.clear()
+        with caplog.at_level(logging.WARNING):
+            s = build_sampler(10, rng, bad)
+        assert s.n == 10
+        assert "fresh epoch stream" in caplog.text
+
+
+def test_sidecar_stamp_guards_torn_snapshot(tmp_path):
+    """The sidecar is stamped with its z_info filename; a crash between the
+    z_info write and the sidecar write leaves the PREVIOUS sidecar next to
+    the new z_info — load_loader_state must reject the pair instead of
+    silently rewinding the batch stream (ADVICE r4)."""
+    from nes_img_captioning_tpu.algorithms.snapshot import (
+        LOADER_STATE_FILE, load_loader_state)
+
+    d = tmp_path
+    zinfo = os.path.join(d, "z_info_e0_i7-100.json")
+    with open(zinfo, "w") as f:
+        json.dump({}, f)
+    state = EpochSampler(10, seed=3).state_dict()
+
+    # matching stamp: restored, stamp stripped
+    with open(os.path.join(d, LOADER_STATE_FILE), "w") as f:
+        json.dump({**state, "z_info": "z_info_e0_i7-100.json"}, f)
+    got = load_loader_state(zinfo)
+    assert got is not None and "z_info" not in got
+    assert int(got["pos"]) == int(state["pos"])
+
+    # stale stamp from the previous snapshot: rejected
+    with open(os.path.join(d, LOADER_STATE_FILE), "w") as f:
+        json.dump({**state, "z_info": "z_info_e0_i5-100.json"}, f)
+    assert load_loader_state(zinfo) is None
+
+    # unstamped (pre-fix sidecar): still accepted for back-compat
+    with open(os.path.join(d, LOADER_STATE_FILE), "w") as f:
+        json.dump(state, f)
+    assert load_loader_state(zinfo) is not None
+
+
+def test_save_snapshot_stamps_and_replaces_atomically(tmp_path):
+    """save_snapshot writes the sidecar via temp-file + os.replace and
+    stamps it with the z_info filename it pairs with."""
+    from nes_img_captioning_tpu.algorithms.nes import NESMaster
+    from nes_img_captioning_tpu.algorithms.snapshot import (
+        LOADER_STATE_FILE, save_snapshot)
+
+    exp = _mnist_exp("nic_nes", str(tmp_path / "run"))
+    m = NESMaster(exp)
+    m._draw_batches(2, 4)  # materialize the sampler
+    path = save_snapshot(m.stats, m.it, m.experiment,
+                         loader_state=m.loader_state())
+    side = os.path.join(os.path.dirname(path), LOADER_STATE_FILE)
+    with open(side) as f:
+        payload = json.load(f)
+    assert payload["z_info"] == os.path.basename(path)
+    assert not os.path.exists(side + ".tmp")
+
+
 def test_nes_resume_continues_batch_stream(tmp_path):
     """A from_infos NES resume draws the same next batches the interrupted
     master would have drawn (the reference restarts its loader instead)."""

@@ -10,6 +10,7 @@ import pytest
 
 from nes_img_captioning_tpu.fitness.lang_metrics import language_eval
 from nes_img_captioning_tpu.fitness.meteor import (
+    Meteor15Params,
     meteor,
     meteor_corpus,
     porter_stem,
@@ -110,6 +111,145 @@ def test_language_eval_reports_meteor():
     )
     assert isinstance(out["METEOR"], float) and out["METEOR"] > 0.9
     assert out["SPICE"] is None
+
+
+def test_language_eval_empty_paraphrase_table_note(caption_tables=None):
+    """An all-out-of-vocab paraphrase file yields an empty falsy
+    ParaphraseTable that the aligner never fires — the metric note must not
+    claim a '+paraphrase' matcher ran (ADVICE r4)."""
+    from nes_img_captioning_tpu.fitness.meteor import ParaphraseTable
+
+    empty = ParaphraseTable({})
+    assert not empty
+    out = language_eval(
+        np.array([[1, 2, 3, 0]]), [np.array([[1, 2, 3, 0]])], para=empty
+    )
+    assert "+paraphrase" not in out["metric_notes"]["METEOR"]
+
+
+# ---- external golden cases + nltk cross-validation ---------------------------
+# The reference scores METEOR through the Java METEOR-1.5 jar (absent in
+# this offline image, src/captioning/eval_utils.py:30-57). These pins are
+# the strongest external evidence obtainable offline: the 2005 paper's own
+# worked example, and an exact-equality fuzz against nltk's independent
+# implementation of the same formulation (VERDICT r4 directive 6).
+
+
+def test_meteor_banerjee_lavie_2005_worked_example():
+    """Banerjee & Lavie 2005 §'The METEOR Metric' worked example: hypothesis
+    'the president spoke to the audience' vs reference 'the president then
+    spoke to the audience' aligns all 6 hypothesis unigrams in exactly TWO
+    chunks ('the president' / 'spoke to the audience' — the paper names
+    them), so P=1, R=6/7, Fmean=10PR/(R+9P)=60/69, penalty=0.5*(2/6)^3."""
+    hyp = "the president spoke to the audience".split()
+    ref = "the president then spoke to the audience".split()
+    expected = (60.0 / 69.0) * (1.0 - 0.5 * (2.0 / 6.0) ** 3)
+    assert meteor(hyp, [ref]) == pytest.approx(expected, abs=1e-12)
+    # the stem stage adds nothing here (all residue words are distinct)
+    assert meteor(hyp, [ref], stem_of=porter_stem) == pytest.approx(expected)
+
+
+def test_meteor_2005_scrambled_penalty_bound():
+    """2005 paper property: with only unigram matches and NO bigram-or-longer
+    contiguity, chunks == m and the penalty reaches its 0.5 maximum. Our
+    greedy nearest-position aligner realizes the fully-fragmented alignment
+    for the paper's scrambled-sentence shape."""
+    hyp = "the cat sat on the mat".split()
+    ref = "on the mat sat the cat".split()
+    s = meteor(hyp, [ref])
+    # P=R=1 -> Fmean=1; penalty in [0.5*(3/6)^3, 0.5] depending on the
+    # aligner's chunk count (true METEOR minimizes chunks: 3 for this pair;
+    # greedy nearest yields 6). Either way the score is Fmean*(1-penalty).
+    assert 0.5 <= s <= 1.0 - 0.5 * (3.0 / 6.0) ** 3
+
+
+class _StubWordnet:
+    """Disables nltk's WordNet stage (no corpus download in this image)."""
+
+    def synsets(self, word):
+        return []
+
+
+class _OurStemmer:
+    """nltk StemmerI adapter over this module's Porter 1980 — both sides of
+    the fuzz share ONE stemmer so it isolates alignment + scoring."""
+
+    def stem(self, word):
+        return porter_stem(word)
+
+
+def _unambiguous_pairs(n_trials, seed):
+    """Random (hyp, ref) pairs whose sentence-internal stems are distinct:
+    every token has at most one match candidate per stage, so the alignment
+    is UNIQUE and implementation tie-breaks (our nearest-position vs nltk's
+    first-occurrence) cannot diverge — equality must then be exact."""
+    import random
+
+    bases = ["cat", "dog", "house", "river", "tree", "stone", "cloud",
+             "bird", "train", "apple", "chair", "light", "paper", "glass",
+             "horse", "field", "road", "storm", "bread", "clock", "plant",
+             "shirt", "brick", "spoon", "grape", "mount", "frost", "torch",
+             "wheel", "crane"]
+    sufs = ["", "", "", "s", "ing", "ed"]
+    rng = random.Random(seed)
+    for _ in range(n_trials):
+        hb = rng.sample(bases, rng.randint(1, 10))
+        rb = rng.sample(bases, rng.randint(1, 10))
+        yield ([b + rng.choice(sufs) for b in hb],
+               [b + rng.choice(sufs) for b in rb])
+
+
+def test_meteor_vs_nltk_fuzz():
+    """nltk.translate.meteor_score with alpha=.9, beta=3, gamma=.5 (its
+    defaults) IS the 2005 formulation: Fmean=PR/(.9P+.1R)=10PR/(R+9P),
+    penalty=.5*(ch/m)^3. On alignment-unambiguous inputs our score must
+    match nltk's to float precision — an independent external pin of the
+    scoring formulation AND the chunk counting."""
+    ms = pytest.importorskip("nltk.translate.meteor_score")
+    wn, st = _StubWordnet(), _OurStemmer()
+    for hyp, ref in _unambiguous_pairs(300, seed=11):
+        ours = meteor(hyp, [ref], stem_of=porter_stem)
+        theirs = ms.single_meteor_score(ref, hyp, stemmer=st, wordnet=wn)
+        assert ours == pytest.approx(theirs, abs=1e-9), (hyp, ref)
+
+
+def test_meteor15_reduces_to_2005_where_formulations_overlap():
+    """Denkowski & Lavie 2014 generalizes the 2005 score: with alpha=.9,
+    beta=3, gamma=.5, unit stage weights and no function-word list, the 1.5
+    formulation must reproduce the 2005 score exactly (delta cancels; the
+    penalty's mean matched mass (m_h+m_r)/2 equals m for unigram
+    alignments). Fuzzed three-way against nltk as the external referee."""
+    ms = pytest.importorskip("nltk.translate.meteor_score")
+    wn, st = _StubWordnet(), _OurStemmer()
+    p15 = Meteor15Params(alpha=0.9, beta=3.0, gamma=0.5,
+                         weights=(1.0, 1.0, 1.0, 1.0))
+    for hyp, ref in _unambiguous_pairs(200, seed=23):
+        ours05 = meteor(hyp, [ref], stem_of=porter_stem)
+        ours15 = meteor(hyp, [ref], stem_of=porter_stem, params15=p15)
+        theirs = ms.single_meteor_score(ref, hyp, stemmer=st, wordnet=wn)
+        assert ours15 == pytest.approx(ours05, abs=1e-12)
+        assert ours15 == pytest.approx(theirs, abs=1e-9), (hyp, ref)
+
+
+def test_meteor_chunk_tiebreak_beats_nltk_on_lavie_agarwal_2007():
+    """Documented divergence, asserted so it can't silently drift: on the
+    Lavie & Agarwal 2007 example sentence pair (repeated 'the'/'that' make
+    the max-cardinality alignment ambiguous) our nearest-position tie-break
+    finds a 4-chunk alignment where nltk's first-occurrence rule finds 6.
+    Real METEOR breaks ties by MINIMIZING chunks, so fewer chunks is the
+    more faithful resolution; both scores share m=12, P=12/18, R=12/16."""
+    hyp = ("it is a guide to action which ensures that the military always "
+           "obeys the commands of the party").split()
+    ref = ("it is a guide to action that ensures that the military will "
+           "forever heed party commands").split()
+    fmean = 10.0 * (12 / 18) * (12 / 16) / ((12 / 16) + 9.0 * (12 / 18))
+    ours = meteor(hyp, [ref], stem_of=porter_stem)
+    assert ours == pytest.approx(fmean * (1.0 - 0.5 * (4 / 12) ** 3))
+    ms = pytest.importorskip("nltk.translate.meteor_score")
+    theirs = ms.single_meteor_score(ref, hyp, stemmer=_OurStemmer(),
+                                    wordnet=_StubWordnet())
+    assert theirs == pytest.approx(fmean * (1.0 - 0.5 * (6 / 12) ** 3))
+    assert ours > theirs  # fewer chunks -> smaller penalty
 
 
 # ---- synonym matcher (METEOR-1.5's WordNet stage, user-supplied data) --------

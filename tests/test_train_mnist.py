@@ -608,7 +608,7 @@ def test_snapshot_pairs_current_opt_state(tmp_path, monkeypatch):
     mismatches = []
     orig = nes_mod.save_snapshot
 
-    def spy(stats, it, experiment):
+    def spy(stats, it, experiment, **kwargs):
         xs = jax.tree_util.tree_leaves(experiment.opt_state)
         ys = jax.tree_util.tree_leaves(master.opt_state)
         same = len(xs) == len(ys) and all(
@@ -617,7 +617,7 @@ def test_snapshot_pairs_current_opt_state(tmp_path, monkeypatch):
         )
         if not same:
             mismatches.append(it.iteration())
-        return orig(stats, it, experiment)
+        return orig(stats, it, experiment, **kwargs)
 
     monkeypatch.setattr(nes_mod, "save_snapshot", spy)
     master.run_master(max_iterations=5)  # snapshots at 2, 4 and run end

@@ -43,31 +43,49 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def _backend_watchdog(seconds: float = 600.0):
-    """Fail fast if the TPU backend never initializes: the axon tunnel can
-    wedge outright (r3: a device call never returned and fresh processes
-    then hung at jax.devices() for hours — CLAUDE.md). Without this, a
-    wedged tunnel turns the bench into an unbounded hang with no output;
-    with it, the run dies with a diagnosable message and NO json line (a
-    missing result is honest; a fabricated zero is not). Disarmed the
-    moment devices enumerate."""
-    import threading
+class _StallWatchdog:
+    """Fail fast when the TPU tunnel wedges: at backend init (r3: a device
+    call never returned and fresh processes then hung at jax.devices() for
+    hours) OR mid-run (r5: two warm runs wedged inside the timed loop with
+    ~5 s of device work outstanding — the init-only watchdog never fired and
+    the outer `timeout` reaped the run with no json line and no retry).
+    Re-armable: each phase calls arm(seconds, what) with its own bound;
+    expiry exits 3 — the same code the retry harness treats as a transient
+    wedge — with a diagnosable message and NO json line (a missing result is
+    honest; a fabricated zero is not)."""
 
-    armed = threading.Event()
+    def __init__(self):
+        import threading
 
-    def watch():
-        if not armed.wait(seconds):
-            log(f"FATAL: jax backend did not initialize within {seconds:.0f}s"
-                " — the TPU tunnel appears wedged; no benchmark was run")
-            os._exit(3)
+        self._lock = threading.Lock()
+        self._deadline = None  # (monotonic deadline, phase label)
+        t = threading.Thread(target=self._watch, daemon=True)
+        t.start()
 
-    threading.Thread(target=watch, daemon=True).start()
-    return armed
+    def arm(self, seconds: float, what: str):
+        with self._lock:
+            self._deadline = (time.monotonic() + seconds, what, seconds)
+
+    def disarm(self):
+        with self._lock:
+            self._deadline = None
+
+    def _watch(self):
+        while True:
+            time.sleep(1.0)
+            with self._lock:
+                d = self._deadline
+            if d is not None and time.monotonic() > d[0]:
+                log(f"FATAL: {d[1]} did not complete within {d[2]:.0f}s — "
+                    "the TPU tunnel appears wedged; no benchmark was run")
+                os._exit(3)
 
 
 def main():
-    watchdog_disarm = _backend_watchdog(
-        float(os.environ.get("NES_BENCH_INIT_TIMEOUT", "600"))
+    watchdog = _StallWatchdog()
+    watchdog.arm(
+        float(os.environ.get("NES_BENCH_INIT_TIMEOUT", "600")),
+        "jax backend init",
     )
     import jax
 
@@ -89,7 +107,7 @@ def main():
     from nes_img_captioning_tpu.utils.config import Config, TpuConfig
 
     devices = jax.devices()
-    watchdog_disarm.set()  # backend is up: hand control back to `timeout`
+    watchdog.disarm()  # backend is up; rearmed per phase below
     n_chips = len(devices)
     log(f"devices: {devices}")
 
@@ -179,17 +197,29 @@ def main():
         return jax.block_until_ready(theta), opt_state
 
     log("warmup (compile) ...")
+    # cold fused-decode compile is ~5-7 min through the tunnel; a wedge here
+    # looks identical except it never returns — bound it well above cold
+    watchdog.arm(
+        float(os.environ.get("NES_BENCH_WARMUP_TIMEOUT", "1200")), "warmup"
+    )
     t0 = time.time()
     theta, opt_state = generation(theta, opt_state)
     log(f"warmup took {time.time() - t0:.1f}s")
 
+    # post-compile, one rep is <1 s of device work; 180 s of silence means
+    # the tunnel wedged mid-loop (observed twice on 2026-08-20) -> rc=3 ->
+    # the parent harness retries with a fresh process
+    step_bound = float(os.environ.get("NES_BENCH_STEP_TIMEOUT", "180"))
     times = []
     for _ in range(N_TIMED):
+        watchdog.arm(step_bound, "timed generation block")
         t0 = time.time()
         theta, opt_state = generation(theta, opt_state)
         times.append((time.time() - t0) / GENS_PER_DISPATCH)
+    watchdog.arm(step_bound, "pipeline drain")
     for p in pending:  # drain the one-deep pipeline (steady state is timed)
         assert np.isfinite(engine.unpack(p, F)[0]).all()
+    watchdog.disarm()
     # median: robust to tunnel/host hiccups on individual generations
     dt = float(np.median(times))
     evals_per_sec = POP / dt
@@ -239,7 +269,10 @@ def _run_with_retry():
             sys.exit(int(forced))
         main()
         return
-    wait = float(os.environ.get("NES_BENCH_RETRY_WAIT", "300"))
+    # observed recovery time: killing the wedged client frees the tunnel
+    # within ~1 min (CLAUDE.md r5 note); the child IS the wedged client and
+    # is already dead by the time we get its rc, so a short wait suffices
+    wait = float(os.environ.get("NES_BENCH_RETRY_WAIT", "120"))
     env = {**os.environ, "NES_BENCH_CHILD": "1"}
     for attempt in (1, 2):
         proc = subprocess.Popen([sys.executable, os.path.abspath(__file__)],

@@ -149,7 +149,8 @@ def main():
     # perturbation (kernel_perturb auto-on here): 55.9 ms/gen vs 57.5 at 48,
     # 68.9 at 12 (docs/RESULTS.md, r4 sweep)
     engine = NESEngine(task, Adam(0.001), MutationKind.DEFAULT,
-                       mesh=mesh, pop_chunk=24, rng_impl="rbg")
+                       mesh=mesh, pop_chunk=24, rng_impl="rbg",
+                       kernel_noise=False)
 
     F = POP // 2
     rng = np.random.default_rng(0)

@@ -66,7 +66,8 @@ class NESEngine(PopulationEngine):
                  sens_batch: int = 0,
                  sens_probes: int = 0,
                  inline_sens: bool | None = None,
-                 kernel_perturb: object = "auto"):
+                 kernel_perturb: object = "auto",
+                 kernel_noise: object = "auto"):
         super().__init__(task, mesh=mesh, pop_chunk=pop_chunk,
                          rng_impl=rng_impl)
         self.optimizer = optimizer
@@ -131,6 +132,26 @@ class NESEngine(PopulationEngine):
                     "the pair kernel (needs fused decode + decode layout + "
                     "device scoring + a greedy fitness kind + untiled "
                     "logits); using the per-member path")
+        # in-kernel noise (tpu.kernel_noise, on top of kernel_perturb): the
+        # pair's delta is generated in VMEM from the on-chip hardware PRNG
+        # and the gradient kernel regenerates the identical streams — no
+        # delta ever materializes in HBM. TPU-only (no interpret lowering
+        # for the on-chip PRNG); the delta-operand pair kernel remains the
+        # CPU/test form of the same math.
+        noise_supported = (
+            self._kernel_perturb
+            and getattr(task, "supports_kernel_noise", False)
+        )
+        if kernel_noise == "auto":
+            self._kernel_noise = noise_supported
+        else:
+            self._kernel_noise = bool(kernel_noise) and noise_supported
+            if kernel_noise is True and not noise_supported:
+                logger.warning(
+                    "tpu.kernel_noise=true but unsupported here (needs the "
+                    "pair kernel active on a real TPU backend — the on-chip "
+                    "PRNG has no CPU/interpret lowering); using delta "
+                    "operands")
 
     # deltas kept as an eval output (skipping their regeneration in the
     # update) while the (F, dim) matrix fits comfortably in HBM
@@ -304,16 +325,28 @@ class NESEngine(PopulationEngine):
                 v, i, key=key, consts=consts)
             finish_grad = lay.from_dec
 
+        scale_params = None
         if lay is not None and self._kernel_perturb:
             # both signs in one kernel call, perturbation applied in-kernel
             # (greedy kinds only — no decode key to thread); base params
             # prepped ONCE per generation instead of per rollout
             base_params = self.task.pair_base_params(base_vec)
 
-            def pair(seed, idx_i):
-                return self.task.rollout_pair_dec(
-                    base_params, delta_of(seed), idx_i, consts=consts
-                )
+            if self._kernel_noise:
+                # delta generated IN the kernel from (seed, scale): only the
+                # uint32 seed crosses into each pair's call; scale is shaped
+                # once per generation
+                scale_params = self.task.pair_base_params(scale_dec)
+
+                def pair(seed, idx_i):
+                    return self.task.rollout_pair_rng(
+                        base_params, scale_params, seed, idx_i, consts=consts
+                    )
+            else:
+                def pair(seed, idx_i):
+                    return self.task.rollout_pair_dec(
+                        base_params, delta_of(seed), idx_i, consts=consts
+                    )
         else:
             def pair(seed, idx_i):
                 delta = delta_of(seed)
@@ -331,13 +364,26 @@ class NESEngine(PopulationEngine):
 
         weights = self._pair_weights(fitnesses, seeds.shape)
 
-        def chunk_grad(xs):
-            w_c, seeds_c = xs
-            d = jax.vmap(delta_of)(seeds_c)
-            return jnp.einsum("f,fd->d", w_c, d,
-                              preferred_element_type=jnp.float32)
+        if scale_params is not None:
+            # kernel-noise gradient: regenerate each pair's delta in VMEM
+            # from its seed (bitwise the streams the eval kernel consumed)
+            # and accumulate w_i * delta_i on the fly — the (F, dim) delta
+            # matrix never exists, in HBM or anywhere else
+            from ..ops.decode_pallas import pair_grad_rng
 
-        grad = finish_grad(jax.lax.map(chunk_grad, (weights, seeds)).sum(0))
+            g_dict = pair_grad_rng(
+                scale_params, seeds.reshape(-1), weights.reshape(-1),
+            )
+            grad = finish_grad(lay.flat_dec(g_dict))
+        else:
+            def chunk_grad(xs):
+                w_c, seeds_c = xs
+                d = jax.vmap(delta_of)(seeds_c)
+                return jnp.einsum("f,fd->d", w_c, d,
+                                  preferred_element_type=jnp.float32)
+
+            grad = finish_grad(
+                jax.lax.map(chunk_grad, (weights, seeds)).sum(0))
         opt_state, theta, ratio = self._apply_grad(
             theta, opt_state, grad, fitnesses.size, stepsize, l2coeff
         )
@@ -646,6 +692,7 @@ class NESMaster:
             sens_batch=self.tpu_cfg.sensitivity_batch,
             sens_probes=self.tpu_cfg.sensitivity_probes,
             kernel_perturb=getattr(self.tpu_cfg, "kernel_perturb", "auto"),
+            kernel_noise=getattr(self.tpu_cfg, "kernel_noise", "auto"),
         )
         self._init_multihost_placement()
 

@@ -121,6 +121,16 @@ class DecodeLayout:
             [shaped[l.name].reshape(-1) for l in self.spec.leaves]
         )
 
+    def flat_dec(self, params: dict) -> jax.Array:
+        """Inverse of ``prep``'s shaping: a params dict (prepare_decode_params
+        layout) -> the flat decode-ordered f32 vector. Used by the
+        kernel-noise gradient path to bring pair_grad_rng's per-tensor
+        accumulators back to the flat form from_dec consumes."""
+        return jnp.concatenate([
+            jnp.asarray(params[name], jnp.float32).reshape(-1)
+            for name, *_ in self.tensors
+        ])
+
     # ---- per-member prep --------------------------------------------------------------
 
     def prep(self, vec_dec, dtype) -> dict:

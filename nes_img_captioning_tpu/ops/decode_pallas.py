@@ -37,7 +37,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["decode_fused", "decode_pair_perturb", "greedy_decode_fused",
+__all__ = ["decode_fused", "decode_pair_perturb", "decode_pair_rng",
+           "pair_delta_dump", "pair_grad_rng", "greedy_decode_fused",
            "prepare_decode_params", "pad_vocab"]
 
 PAD_LANE = 128
@@ -348,6 +349,253 @@ def decode_pair_perturb(base: dict, delta: dict, feats,
         jnp.zeros((1, 1, Vpad), f32),           # gumbel placeholder
     )
     return (jnp.stack([seq_p.T, seq_n.T]), jnp.stack([lp_p.T, lp_n.T]))
+
+
+# ---------------------------------------------------------------------------
+# In-kernel noise (tpu.kernel_noise): the pair's delta is GENERATED inside
+# the kernel from the on-chip PRNG — scale * N(0,1) via Box-Muller — instead
+# of arriving as ~11.5 MB of HBM operands per pair. Per generation at the
+# mscoco_nes regime (2000 pairs) that removes ~23 GB of delta HBM write
+# traffic plus the matching kernel-operand reads; only the per-pair uint32
+# seed crosses the host boundary, exactly as in the engines' seed-lineage
+# design (ops/mutation.py module docstring). The gradient side regenerates
+# the SAME streams (pair_grad_rng seeds with the same per-pair seed and
+# issues the identical generate sequence), so eval and gradient consume
+# bitwise-identical deltas — the invariant the seed-regeneration engine
+# already relies on, now at the hardware-PRNG level (verified on chip by
+# scripts/exp_kernel_noise.py via pair_delta_dump).
+#
+# The on-chip PRNG has no interpret-mode lowering (same constraint as the
+# multinomial sampling path above, which falls back to host_rng tables on
+# CPU); kernel_noise therefore auto-disables off-TPU and the delta-operand
+# decode_pair_perturb path remains the CPU/test form. N(0,1) here is
+# Box-Muller-exact, not a bit-match of jax.random.normal — the realized
+# noise stream differs from the host path exactly as threefry already
+# differs from the reference's torch RNG (README "Deliberate behavioral
+# deviations": seed lineage determines the stream family).
+
+
+def _seed_i32(seed):
+    """Engine seeds are uint32; prng_seed wants int32. BITCAST (not value
+    conversion — uint32 > 2^31-1 would overflow-convert implementation-
+    defined) so eval and grad kernels derive the identical int32 from the
+    same seed."""
+    seed = jnp.asarray(seed)
+    if seed.dtype == jnp.uint32:
+        return jax.lax.bitcast_convert_type(seed, jnp.int32)
+    return seed.astype(jnp.int32)
+
+
+def _unit_normal(shape):
+    """N(0,1) from the on-chip PRNG: two uint32 draws -> Box-Muller.
+    Mantissa trick (Mosaic has no uint32->f32 cast): top 23 bits into an
+    exponent-1 float gives u in [0,1); 1-u is (0,1] so the log is finite."""
+    b1 = pltpu.prng_random_bits(shape)
+    b2 = pltpu.prng_random_bits(shape)
+
+    def unif(bits):
+        mant = (pltpu.bitcast(bits, jnp.uint32) >> 9) | jnp.uint32(0x3F800000)
+        return pltpu.bitcast(mant, jnp.float32) - 1.0  # [0, 1)
+
+    r = jnp.sqrt(-2.0 * jnp.log(1.0 - unif(b1)))
+    return r * jnp.cos((2.0 * 3.14159265358979) * unif(b2))
+
+
+def _gen_deltas(seed, scale, out):
+    """delta_i = scale_i * N(0,1), written tensor-by-tensor in _PAIR_TENSORS
+    order. The (seed, call-sequence) pair fully determines the stream: every
+    consumer of a pair's delta (eval kernel, dump kernel, grad kernel) calls
+    THIS function exactly once after seeding, so their realized deltas are
+    bitwise identical. Pad lanes draw zero because the scale layout uses
+    pad_scale=0 (DecodeLayout.to_dec)."""
+    pltpu.prng_seed(seed)
+    for s, o in zip(scale, out):
+        o[:] = s[:] * _unit_normal(o.shape)
+
+
+def _pair_kernel_rng(seed_ref, feats_ref,
+                     # 9 base-weight refs (f32) then 9 noise-scale refs (f32)
+                     b_img_w, b_img_b, b_i2h_w, b_i2h_b, b_h2h_w, b_h2h_b,
+                     b_logit_w, b_logit_b, b_embed,
+                     s_img_w, s_img_b, s_i2h_w, s_i2h_b, s_h2h_w, s_h2h_b,
+                     s_logit_w, s_logit_b, s_embed,
+                     gumbel_ref,
+                     seq_pos_ref, lp_pos_ref, seq_neg_ref, lp_neg_ref,
+                     # delta scratch (f32), then perturbed-weight scratch
+                     d_img_w, d_img_b, d_i2h_w, d_i2h_b, d_h2h_w, d_h2h_b,
+                     d_logit_w, d_logit_b, d_embed,
+                     p_img_w, p_img_b, p_i2h_w, p_i2h_b, p_h2h_w, p_h2h_b,
+                     p_logit_w, p_logit_b, p_embed,
+                     h_ref, c_ref, tok_ref, unfin_ref, alive_ref,
+                     *, seq_length: int, rnn_size: int, need_logprobs: bool):
+    """decode_pair_perturb with the delta generated in VMEM: delta scratch is
+    filled once from (seed, scale), then both signs decode exactly as in
+    _pair_kernel. Token output is bitwise-equal to decode_pair_perturb fed
+    the SAME delta values (the perturbed weights are the same f32 sums
+    rounded to the same dtype)."""
+    base = (b_img_w, b_img_b, b_i2h_w, b_i2h_b, b_h2h_w, b_h2h_b,
+            b_logit_w, b_logit_b, b_embed)
+    scale = (s_img_w, s_img_b, s_i2h_w, s_i2h_b, s_h2h_w, s_h2h_b,
+             s_logit_w, s_logit_b, s_embed)
+    delta = (d_img_w, d_img_b, d_i2h_w, d_i2h_b, d_h2h_w, d_h2h_b,
+             d_logit_w, d_logit_b, d_embed)
+    pert = (p_img_w, p_img_b, p_i2h_w, p_i2h_b, p_h2h_w, p_h2h_b,
+            p_logit_w, p_logit_b, p_embed)
+
+    _gen_deltas(seed_ref[0, 0], scale, delta)
+
+    for sign, seq_ref, lp_ref in ((1.0, seq_pos_ref, lp_pos_ref),
+                                  (-1.0, seq_neg_ref, lp_neg_ref)):
+        for p, b, d in zip(pert, base, delta):
+            p[:] = (b[:] + sign * d[:]).astype(p.dtype)
+        _decode_core(
+            seed_ref, feats_ref, *pert, gumbel_ref,
+            seq_ref, lp_ref, h_ref, c_ref, tok_ref, unfin_ref, alive_ref,
+            seq_length=seq_length, rnn_size=rnn_size, greedy=True,
+            host_rng=False, need_logprobs=need_logprobs,
+        )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("seq_length", "dtype", "need_logprobs"),
+)
+def decode_pair_rng(base: dict, scale: dict, seed, feats,
+                    seq_length: int = 16, dtype=jnp.float32,
+                    need_logprobs: bool = False):
+    """Greedy-decode both rollouts of one antithetic pair with the delta
+    GENERATED in-kernel: delta = scale * N(0,1) seeded by the pair's uint32
+    seed. base/scale: f32 dicts in prepare_decode_params' layout (scale from
+    DecodeLayout.prep of a pad_scale=0 to_dec vector). TPU-only — the
+    on-chip PRNG has no interpret lowering; CPU/test callers use
+    decode_pair_perturb with an explicit delta. Returns (seq (2, B, T),
+    lp (2, B, T)); index 0 = +delta."""
+    B = feats.shape[0]
+    R = base["h2h_w"].shape[0]
+    Vpad = base["embed"].shape[0]
+    kernel = functools.partial(
+        _pair_kernel_rng, seq_length=seq_length, rnn_size=R,
+        need_logprobs=need_logprobs,
+    )
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    f32 = jnp.float32
+    out = jax.ShapeDtypeStruct
+    operands = [jnp.asarray(base[k], f32) for k in _PAIR_TENSORS] + \
+               [jnp.asarray(scale[k], f32) for k in _PAIR_TENSORS]
+    seq_p, lp_p, seq_n, lp_n = pl.pallas_call(
+        kernel,
+        out_shape=(
+            out((seq_length, B), jnp.int32), out((seq_length, B), f32),
+            out((seq_length, B), jnp.int32), out((seq_length, B), f32),
+        ),
+        in_specs=[vmem] * (2 + 18 + 1),
+        out_specs=(vmem,) * 4,
+        scratch_shapes=[
+            pltpu.VMEM(base[k].shape, f32) for k in _PAIR_TENSORS  # delta
+        ] + [
+            pltpu.VMEM(base[k].shape,
+                       f32 if k in _PAIR_BIASES else dtype)
+            for k in _PAIR_TENSORS                                 # perturbed
+        ] + [
+            pltpu.VMEM((B, R), f32),            # h
+            pltpu.VMEM((B, R), f32),            # c
+            pltpu.VMEM((B, 1), jnp.int32),      # current token
+            pltpu.VMEM((B, 1), jnp.int32),      # per-row unfinished mask
+            pltpu.SMEM((1,), jnp.int32),        # batch-wide alive flag
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(
+        jnp.full((1, 128), _seed_i32(seed)),
+        feats.astype(dtype),
+        *operands,
+        jnp.zeros((1, 1, Vpad), f32),           # gumbel placeholder
+    )
+    return (jnp.stack([seq_p.T, seq_n.T]), jnp.stack([lp_p.T, lp_n.T]))
+
+
+def _delta_dump_kernel(seed_ref, *refs, n: int):
+    scale, out = refs[:n], refs[n:]
+    _gen_deltas(seed_ref[0, 0], scale, out)
+
+
+@jax.jit
+def pair_delta_dump(scale: dict, seed):
+    """The delta decode_pair_rng/pair_grad_rng realize for ``seed``, as a
+    dict of f32 tensors — the on-chip introspection hook that lets tests
+    verify the eval and gradient kernels consume bitwise-identical noise
+    (scripts/exp_kernel_noise.py). TPU-only."""
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        functools.partial(_delta_dump_kernel, n=len(_PAIR_TENSORS)),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct(scale[k].shape, jnp.float32)
+            for k in _PAIR_TENSORS
+        ),
+        in_specs=[vmem] * (1 + len(_PAIR_TENSORS)),
+        out_specs=(vmem,) * len(_PAIR_TENSORS),
+    )(
+        jnp.full((1, 128), _seed_i32(seed)),
+        *[jnp.asarray(scale[k], jnp.float32) for k in _PAIR_TENSORS],
+    )
+    return dict(zip(_PAIR_TENSORS, outs))
+
+
+def _pair_grad_kernel(seeds_ref, w_ref, *refs, n: int):
+    """One grid step = one pair: regenerate its delta (same seed, same
+    stream as the eval kernel) and accumulate w_i * delta_i into the output
+    tensors. TPU grid steps run sequentially and the outputs' index maps are
+    constant, so += across steps is the standard revisiting-accumulator
+    pattern."""
+    # ref order: inputs (scale), then OUTPUTS (grad), then scratch (delta)
+    scale, grad, delta = refs[:n], refs[n:2 * n], refs[2 * n:]
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        for g in grad:
+            g[:] = jnp.zeros(g.shape, jnp.float32)
+
+    _gen_deltas(seeds_ref[i], scale, delta)
+    w = w_ref[i]
+    for g, d in zip(grad, delta):
+        g[:] += w * d[:]
+
+
+@jax.jit
+def pair_grad_rng(scale: dict, seeds, weights):
+    """sum_i weights[i] * delta(seeds[i]) without ever materializing a delta
+    in HBM: grid over pairs, delta regenerated in VMEM per step (the same
+    streams the eval kernel consumed), accumulated into one f32 tensor dict.
+    seeds (F,) int32 (uint32 seeds bit-cast), weights (F,) f32 — both read
+    from SMEM. Output: dict in prepare_decode_params layout; flatten with
+    DecodeLayout's tensor order and map back via from_dec (linear)."""
+    F = int(seeds.shape[0])
+    n = len(_PAIR_TENSORS)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        functools.partial(_pair_grad_kernel, n=n),
+        grid=(F,),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct(scale[k].shape, jnp.float32)
+            for k in _PAIR_TENSORS
+        ),
+        in_specs=[smem, smem] + [vmem] * n,
+        out_specs=(vmem,) * n,
+        scratch_shapes=[
+            pltpu.VMEM(scale[k].shape, jnp.float32) for k in _PAIR_TENSORS
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(
+        _seed_i32(seeds).reshape(F),
+        jnp.asarray(weights, jnp.float32).reshape(F),
+        *[jnp.asarray(scale[k], jnp.float32) for k in _PAIR_TENSORS],
+    )
+    return dict(zip(_PAIR_TENSORS, outs))
 
 
 @functools.partial(

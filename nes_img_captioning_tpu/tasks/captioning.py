@@ -333,11 +333,46 @@ class CocoTask(Task):
             and not self._vocab_tile
         )
 
+    @property
+    def supports_kernel_noise(self) -> bool:
+        """Gate for in-kernel noise generation (tpu.kernel_noise): the pair
+        kernel's delta comes from the on-chip hardware PRNG, which has no
+        interpret/CPU lowering — so this needs everything the pair kernel
+        needs PLUS a real TPU backend (tests run the delta-operand form)."""
+        return self.supports_pair_perturb and not self._fused_interpret
+
     def pair_base_params(self, base_dec) -> dict:
         """Decode-ordered flat base theta -> f32 params dict for
         decode_pair_perturb — computed ONCE per generation (member-
-        independent), where the per-member path pays a prep per rollout."""
+        independent), where the per-member path pays a prep per rollout.
+        Also shapes the noise-scale vector for the kernel-noise path (the
+        same slice/reshape, f32)."""
         return self.decode_layout.prep(base_dec, jnp.float32)
+
+    def rollout_pair_rng(self, base_params: dict, scale_params: dict, seed,
+                         idx, consts=None):
+        """rollout_pair_dec with the delta GENERATED in-kernel from the
+        pair's seed (ops/decode_pallas.py:decode_pair_rng): only the uint32
+        seed crosses into the kernel; the ~11.5 MB delta never exists in
+        HBM. Token-bitwise-equal to rollout_pair_dec fed the same realized
+        delta (chip-verified, scripts/exp_kernel_noise.py). Returns the (2,)
+        [pos, neg] fitness vector."""
+        from ..ops.decode_pallas import decode_pair_rng
+
+        train_fc = self.train_fc if consts is None else consts["train_fc"]
+        cdev = None if consts is None else consts.get("cider")
+        feats = train_fc[idx]
+        need_lp = self.fitness_kind in FITNESS_CRITERIA
+        seq2, lp2 = decode_pair_rng(
+            base_params, scale_params, seed, feats,
+            seq_length=self.model.options.seq_length,
+            dtype=self._decode_dtype, need_logprobs=need_lp,
+        )
+        return jnp.stack([
+            self._device_fitness(None, feats, idx, seq2[s],
+                                 lp=lp2[s] if need_lp else None, dev=cdev)
+            for s in range(2)
+        ])
 
     def rollout_pair_dec(self, base_params: dict, delta_dec, idx,
                          consts=None):

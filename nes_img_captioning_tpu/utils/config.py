@@ -142,6 +142,20 @@ class TpuConfig:
     # (fused kernel + decode layout + device scoring + greedy kind +
     # untiled logits); True forces (warns if unsupported); False = off.
     kernel_perturb: object = "auto"
+    # in-kernel noise (NES fused path, on top of kernel_perturb): each
+    # pair's delta is GENERATED inside the kernel from the on-chip hardware
+    # PRNG (delta = scale * N(0,1), Box-Muller) instead of materializing as
+    # ~11.5 MB of HBM operands per pair (~23 GB of write traffic per
+    # mscoco_nes generation plus the matching reads); the gradient kernel
+    # regenerates the identical streams from the same per-pair seeds
+    # (bitwise — verified on chip, scripts/exp_kernel_noise.py). The
+    # realized noise stream differs from the host jax.random path exactly
+    # as rng_impl choices already differ from each other — same documented
+    # seed-lineage deviation class. "auto" = on when kernel_perturb is
+    # active AND the backend is a real TPU (the on-chip PRNG has no
+    # interpret/CPU lowering); True forces (warns if unsupported); False =
+    # off (delta-operand pair kernel, the CPU/test form).
+    kernel_noise: object = "auto"
     # PRNG used for on-device noise/init streams: "" = jax default
     # (threefry2x32); "rbg" trades cross-backend stream identity for ~2.5x
     # faster generation on TPU (noise is regenerated twice per generation,

@@ -47,6 +47,13 @@ def main():
     ap.add_argument("--pop-chunk", type=int, default=48)
     ap.add_argument("--legs", default="full,no_cider,no_decode,no_eval_noise",
                     help="comma-set of legs to run (each is its own compile)")
+    ap.add_argument("--sync", action="store_true",
+                    help="pull each block's results before dispatching the "
+                         "next (adds one ~30 ms RTT per block — constant "
+                         "across legs, so ablation DIFFERENCES are "
+                         "unaffected; the 2026-08-20 tunnel wedged "
+                         "repeatedly under the deferred-pull pipeline and "
+                         "this keeps at most one program outstanding)")
     args = ap.parse_args()
 
     import jax
@@ -116,9 +123,13 @@ def main():
     results = {}
     for name in args.legs.split(","):
         CocoTask.rollout_pair_dec = legs[name]
+        # kernel_noise=False: this ablation swaps rollout_pair_dec bodies to
+        # DCE stages; the kernel-noise path routes around rollout_pair_dec
+        # entirely (rollout_pair_rng) and is measured by its own A/B,
+        # scripts/exp_kernel_noise.py
         eng = NESEngine(task, Adam(0.001), MutationKind.DEFAULT,
                         pop_chunk=args.pop_chunk, rng_impl="rbg",
-                        kernel_perturb=True)
+                        kernel_perturb=True, kernel_noise=False)
         assert eng._kernel_perturb
         opt_state = eng.optimizer.init(eng.dim)
         th = theta
@@ -132,6 +143,10 @@ def main():
             th, opt_state, packs = eng.generation_block(
                 th, opt_state, jnp.ones((eng.dim,), jnp.float32), 0.01,
                 seeds, idx, 0.001, 1e-7)
+            if args.sync:
+                fits, _, _ = eng.unpack(packs, F)
+                assert np.isfinite(fits).all()
+                return th, opt_state
             pending.append(packs)
             if len(pending) > 1:
                 fits, _, _ = eng.unpack(pending.pop(0), F)

@@ -332,10 +332,15 @@ class NESEngine(PopulationEngine):
             # prepped ONCE per generation instead of per rollout
             base_params = self.task.pair_base_params(base_vec)
 
-            if self._kernel_noise:
+            if self._kernel_noise and getattr(
+                self.task, "supports_kernel_noise", False
+            ):
                 # delta generated IN the kernel from (seed, scale): only the
                 # uint32 seed crosses into each pair's call; scale is shaped
-                # once per generation
+                # once per generation. The support property is re-read at
+                # trace time: tests flip the task into interpret mode after
+                # constructing the engine, and the chip PRNG cannot lower
+                # there.
                 scale_params = self.task.pair_base_params(scale_dec)
 
                 def pair(seed, idx_i):

@@ -338,8 +338,16 @@ class CocoTask(Task):
         """Gate for in-kernel noise generation (tpu.kernel_noise): the pair
         kernel's delta comes from the on-chip hardware PRNG, which has no
         interpret/CPU lowering — so this needs everything the pair kernel
-        needs PLUS a real TPU backend (tests run the delta-operand form)."""
-        return self.supports_pair_perturb and not self._fused_interpret
+        needs PLUS a real TPU backend (tests run the delta-operand form).
+        The backend check matters independently of ``_fused_interpret``:
+        CPU tests force ``fused_decode`` on and flip ``_fused_interpret``
+        only AFTER constructing masters/engines (e.g. tests/test_anneal_e2e),
+        so an interpret-flag-only gate would resolve True at engine init and
+        then fail to lower. Engines also re-read this property at trace
+        time (nes.py:_generation_fn) as a second guard."""
+        return (self.supports_pair_perturb
+                and not self._fused_interpret
+                and jax.default_backend() == "tpu")
 
     def pair_base_params(self, base_dec) -> dict:
         """Decode-ordered flat base theta -> f32 params dict for

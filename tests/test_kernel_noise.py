@@ -119,6 +119,48 @@ def test_flat_dec_weighted_sum_reaches_torch_order(coco_task):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
+def test_engine_built_before_interpret_flip_still_runs(tmp_path):
+    """Regression (r5): CPU tests force fused_decode on and flip
+    _fused_interpret only AFTER constructing masters/engines
+    (tests/test_anneal_e2e.py ordering). The kernel-noise auto gate must not
+    latch True at engine init and then fail to lower on CPU — the backend
+    check plus the trace-time re-read keep the generation on the
+    delta-operand form."""
+    from nes_img_captioning_tpu.algorithms.nes import NESEngine
+    from nes_img_captioning_tpu.algorithms.optimizers import Adam
+    from nes_img_captioning_tpu.ops.mutation import MutationKind
+    from nes_img_captioning_tpu.tasks.captioning import CocoTask
+    from nes_img_captioning_tpu.utils.config import Config, parse_tpu_config
+
+    copts = make_synthetic_coco(str(tmp_path / "d"), n_train=12, n_val=4,
+                                n_test=4, vocab_size=40, fc_feat_size=24,
+                                cap_len=6, seed=0)
+    exp = {
+        "dataset": "mscoco",
+        "caption_options": copts,
+        "policy_options": {"fitness": "greedy", "model_options": {
+            "input_encoding_size": 16, "rnn_size": 16, "fc_feat_size": 24,
+        }},
+        "tpu": {"seed": 0, "fused_decode": True, "precision": "f32"},
+    }
+    task = CocoTask(exp, Config(batch_size=4), parse_tpu_config(exp))
+    # engine FIRST (the anneal-test ordering) ...
+    eng = NESEngine(task, Adam(0.01), MutationKind.DEFAULT, pop_chunk=2)
+    # ... interpret flip after
+    task._fused_interpret = True
+    assert not eng._kernel_noise
+
+    rng = np.random.default_rng(1)
+    seeds = rng.integers(0, 2**32, size=2, dtype=np.uint32)
+    idx = rng.integers(0, 12, size=(2, 4)).astype(np.int32)
+    theta = task.generate_theta(jax.random.PRNGKey(0))
+    th, _, packed = eng.generation(
+        theta, eng.optimizer.init(eng.dim),
+        jnp.ones((eng.dim,), jnp.float32), 0.05, seeds, idx, 0.01, 1e-3,
+    )
+    assert np.isfinite(np.asarray(packed)).all()
+
+
 def test_tpu_config_knob_parses():
     from nes_img_captioning_tpu.utils.config import parse_tpu_config
 

@@ -137,13 +137,17 @@ class NESEngine(PopulationEngine):
         # and the gradient kernel regenerates the identical streams — no
         # delta ever materializes in HBM. TPU-only (no interpret lowering
         # for the on-chip PRNG); the delta-operand pair kernel remains the
-        # CPU/test form of the same math.
+        # CPU/test form of the same math. Chip-verified correct but a
+        # measured NET LOSS at the mscoco_nes regime (eval +16 ms/gen, grad
+        # -93: sequential per-pair Box-Muller loses to the rbg einsum —
+        # docs/RESULTS.md r5), so "auto" resolves OFF and the knob is an
+        # explicit opt-in for future hardware where the tradeoff flips.
         noise_supported = (
             self._kernel_perturb
             and getattr(task, "supports_kernel_noise", False)
         )
         if kernel_noise == "auto":
-            self._kernel_noise = noise_supported
+            self._kernel_noise = False
         else:
             self._kernel_noise = bool(kernel_noise) and noise_supported
             if kernel_noise is True and not noise_supported:

@@ -535,6 +535,12 @@ def pair_delta_dump(scale: dict, seed):
         ),
         in_specs=[vmem] * (1 + len(_PAIR_TENSORS)),
         out_specs=(vmem,) * len(_PAIR_TENSORS),
+        compiler_params=pltpu.CompilerParams(
+            # the unrolled 9-tensor Box-Muller loop's temporaries exceed the
+            # default 16M scoped-vmem budget (measured: 32.05M at full model
+            # dims through the AOT compiler)
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
     )(
         jnp.full((1, 128), _seed_i32(seed)),
         *[jnp.asarray(scale[k], jnp.float32) for k in _PAIR_TENSORS],

@@ -151,10 +151,13 @@ class TpuConfig:
     # (bitwise — verified on chip, scripts/exp_kernel_noise.py). The
     # realized noise stream differs from the host jax.random path exactly
     # as rng_impl choices already differ from each other — same documented
-    # seed-lineage deviation class. "auto" = on when kernel_perturb is
-    # active AND the backend is a real TPU (the on-chip PRNG has no
-    # interpret/CPU lowering); True forces (warns if unsupported); False =
-    # off (delta-operand pair kernel, the CPU/test form).
+    # seed-lineage deviation class. MEASURED (r5, docs/RESULTS.md): correct
+    # on chip but a net loss at the mscoco_nes regime — eval sweep wins
+    # +16 ms/gen (Box-Muller eats most of the materialization saving) and
+    # the per-pair gradient kernel loses -93 ms/gen to the rbg einsum — so
+    # "auto" resolves OFF; True is an explicit opt-in (requires
+    # kernel_perturb active on a real TPU; warns otherwise); False = off
+    # (delta-operand pair kernel, the CPU/test form).
     kernel_noise: object = "auto"
     # PRNG used for on-device noise/init streams: "" = jax default
     # (threefry2x32); "rbg" trades cross-backend stream identity for ~2.5x

@@ -67,7 +67,8 @@ class NESEngine(PopulationEngine):
                  sens_probes: int = 0,
                  inline_sens: bool | None = None,
                  kernel_perturb: object = "auto",
-                 kernel_noise: object = "auto"):
+                 kernel_noise: object = "auto",
+                 delta_dtype: str = "f32"):
         super().__init__(task, mesh=mesh, pop_chunk=pop_chunk,
                          rng_impl=rng_impl)
         self.optimizer = optimizer
@@ -142,6 +143,19 @@ class NESEngine(PopulationEngine):
         # -93: sequential per-pair Box-Muller loses to the rbg einsum —
         # docs/RESULTS.md r5), so "auto" resolves OFF and the knob is an
         # explicit opt-in for future hardware where the tradeoff flips.
+        # tpu.delta_dtype: storage dtype of the realized delta on the
+        # decode-layout path. bf16 halves the delta HBM footprint on both
+        # the eval sweep (materialization + kernel-operand read) and the
+        # gradient einsum; eval and gradient still consume BITWISE-identical
+        # values (one shared rounding in delta_of — self-consistent NES
+        # estimator, tested in tests/test_delta_dtype.py). Distributional
+        # deviation only (8-bit-mantissa noise, ~0.4% relative).
+        if delta_dtype not in ("f32", "bf16"):
+            raise ValueError(
+                f"delta_dtype={delta_dtype!r}: expected 'f32' or 'bf16'")
+        self._delta_dtype = (
+            jnp.bfloat16 if delta_dtype == "bf16" else jnp.float32
+        )
         noise_supported = (
             self._kernel_perturb
             and getattr(task, "supports_kernel_noise", False)
@@ -322,9 +336,12 @@ class NESEngine(PopulationEngine):
             scale_dec = lay.to_dec(
                 self._scale_vec(theta, sens, sigma), pad_scale=0.0
             )
-            delta_of = lambda seed: scale_dec * jax.random.normal(  # noqa: E731
+            # one shared rounding to the storage dtype: eval and gradient
+            # both consume THIS value, so bf16 storage keeps the estimator
+            # self-consistent (f32 astype is a bitwise no-op)
+            delta_of = lambda seed: (scale_dec * jax.random.normal(  # noqa: E731
                 self._mk_key(seed), (lay.dim_dec,), jnp.float32
-            )
+            )).astype(self._delta_dtype)
             rollout = lambda v, i, key: self.task.rollout_dec(  # noqa: E731
                 v, i, key=key, consts=consts)
             finish_grad = lay.from_dec
@@ -702,6 +719,7 @@ class NESMaster:
             sens_probes=self.tpu_cfg.sensitivity_probes,
             kernel_perturb=getattr(self.tpu_cfg, "kernel_perturb", "auto"),
             kernel_noise=getattr(self.tpu_cfg, "kernel_noise", "auto"),
+            delta_dtype=getattr(self.tpu_cfg, "delta_dtype", "f32"),
         )
         self._init_multihost_placement()
 

@@ -299,13 +299,16 @@ def decode_pair_perturb(base: dict, delta: dict, feats,
     """Greedy-decode BOTH rollouts of one antithetic pair with the
     perturbation applied inside the kernel.
 
-    base / delta: f32 dicts in prepare_decode_params' layout (same shapes;
-    delta's logit_b pad lanes must be 0 so the padded bias stays at NEG —
-    DecodeLayout's pad_scale=0 noise-scale guarantees this). ``dtype`` is
-    the compute dtype of the perturbed weights: tokens are bitwise-equal to
-    ``decode_fused(prep(base ± delta))`` because the perturbed weights are
-    the same f32 sum rounded to the same dtype (tested). Returns
-    (seq (2, B, T) int32, lp (2, B, T) f32) — index 0 = +delta, 1 = -delta.
+    base: f32 dict in prepare_decode_params' layout. delta: same-shape dict
+    in f32 OR bf16 (tpu.delta_dtype — bf16 operands halve the per-pair HBM
+    read; the in-kernel f32+bf16 promotion matches the per-member path's
+    base+delta sum bitwise). delta's logit_b pad lanes must be 0 so the
+    padded bias stays at NEG — DecodeLayout's pad_scale=0 noise-scale
+    guarantees this. ``dtype`` is the compute dtype of the perturbed
+    weights: tokens are bitwise-equal to ``decode_fused(prep(base ± delta))``
+    because the perturbed weights are the same sum rounded to the same
+    dtype (tested). Returns (seq (2, B, T) int32, lp (2, B, T) f32) —
+    index 0 = +delta, 1 = -delta.
     """
     B = feats.shape[0]
     R = base["h2h_w"].shape[0]
@@ -318,7 +321,7 @@ def decode_pair_perturb(base: dict, delta: dict, feats,
     f32 = jnp.float32
     out = jax.ShapeDtypeStruct
     operands = [jnp.asarray(base[k], f32) for k in _PAIR_TENSORS] + \
-               [jnp.asarray(delta[k], f32) for k in _PAIR_TENSORS]
+               [jnp.asarray(delta[k]) for k in _PAIR_TENSORS]
     seq_p, lp_p, seq_n, lp_n = pl.pallas_call(
         kernel,
         out_shape=(

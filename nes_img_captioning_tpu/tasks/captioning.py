@@ -396,7 +396,11 @@ class CocoTask(Task):
         feats = train_fc[idx]
         need_lp = self.fitness_kind in FITNESS_CRITERIA
         seq2, lp2 = decode_pair_perturb(
-            base_params, self.decode_layout.prep(delta_dec, jnp.float32),
+            # prep in the delta's OWN dtype (tpu.delta_dtype): a bf16 delta
+            # stays bf16 through the kernel operands (half the HBM read),
+            # and the kernel's f32 + bf16 promotion reproduces the
+            # per-member path's base+delta sum exactly
+            base_params, self.decode_layout.prep(delta_dec, delta_dec.dtype),
             feats, seq_length=self.model.options.seq_length,
             dtype=self._decode_dtype, interpret=self._fused_interpret,
             need_logprobs=need_lp,

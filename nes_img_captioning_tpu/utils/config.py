@@ -159,6 +159,18 @@ class TpuConfig:
     # kernel_perturb active on a real TPU; warns otherwise); False = off
     # (delta-operand pair kernel, the CPU/test form).
     kernel_noise: object = "auto"
+    # Storage dtype of the realized NES pair delta on the fused
+    # decode-layout path: "f32" (default) or "bf16". bf16 HALVES the delta
+    # HBM footprint on BOTH sides of a generation (the eval sweep's
+    # per-pair materialization + kernel-operand read, and the gradient
+    # einsum's regenerated matrix) — the r5 DCE ablation put that traffic
+    # at ~1/3 of the true-regime generation (docs/RESULTS.md). The
+    # perturbation consumed by eval and gradient stays bitwise IDENTICAL
+    # (one shared rounding at generation: delta = bf16(scale * N(0,1)), so
+    # the NES estimator is self-consistent; tested); the deviation is
+    # distributional only — noise values round to 8-bit mantissa, ~0.4%
+    # relative, zero-mean symmetric. f32 = reference-precision noise.
+    delta_dtype: str = "f32"
     # PRNG used for on-device noise/init streams: "" = jax default
     # (threefry2x32); "rbg" trades cross-backend stream identity for ~2.5x
     # faster generation on TPU (noise is regenerated twice per generation,
@@ -195,6 +207,16 @@ def parse_tpu_config(exp: dict) -> TpuConfig:
             raise ValueError(
                 f"tpu.sensitivity_precision={cfg['sensitivity_precision']!r}: "
                 f"expected one of {sorted(aliases)}"
+            ) from None
+    if "delta_dtype" in cfg:
+        aliases = {"f32": "f32", "float32": "f32",
+                   "bf16": "bf16", "bfloat16": "bf16"}
+        try:
+            cfg["delta_dtype"] = aliases[cfg["delta_dtype"]]
+        except KeyError:
+            raise ValueError(
+                f"tpu.delta_dtype={cfg['delta_dtype']!r}: "
+                f"expected one of {sorted(set(aliases))}"
             ) from None
     if cfg.get("sensitivity_probes") is not None \
             and int(cfg["sensitivity_probes"]) < 0:

@@ -148,9 +148,16 @@ def main():
     # pop_chunk=24 is the measured optimum under the in-kernel pair
     # perturbation (kernel_perturb auto-on here): 55.9 ms/gen vs 57.5 at 48,
     # 68.9 at 12 (docs/RESULTS.md, r4 sweep)
+    # bf16 delta storage (tpu.delta_dtype): halves the realized-delta HBM
+    # footprint on both the eval sweep and the gradient einsum; eval and
+    # gradient consume bitwise-identical values (one shared rounding —
+    # tests/test_delta_dtype.py). Measured +7.6 ms/gen at bench dims,
+    # +79.8 at the true mscoco_nes regime (scripts/exp_delta16.py, r5).
+    # kernel_noise stays off: chip-verified correct but a measured net
+    # loss on v5e (docs/RESULTS.md r5).
     engine = NESEngine(task, Adam(0.001), MutationKind.DEFAULT,
                        mesh=mesh, pop_chunk=24, rng_impl="rbg",
-                       kernel_noise=False)
+                       kernel_noise=False, delta_dtype="bf16")
 
     F = POP // 2
     rng = np.random.default_rng(0)

@@ -34,6 +34,8 @@ def main():
     ap.add_argument("--gens-per-dispatch", type=int, default=4)
     ap.add_argument("--timed", type=int, default=6)
     ap.add_argument("--pop-chunk", type=int, default=48)
+    ap.add_argument("--delta-dtype", default="f32",
+                    choices=("f32", "bf16"))
     ap.add_argument("--kernel-perturb", default="auto",
                     choices=["auto", "true", "false"],
                     help="tpu.kernel_perturb A/B: in-kernel pair "
@@ -81,8 +83,9 @@ def main():
     kp = {"auto": "auto", "true": True, "false": False}[args.kernel_perturb]
     engine = NESEngine(task, Adam(0.001), MutationKind.DEFAULT,
                        pop_chunk=args.pop_chunk, rng_impl="rbg",
-                       kernel_perturb=kp)
-    log(f"kernel_perturb: {engine._kernel_perturb}")
+                       kernel_perturb=kp, delta_dtype=args.delta_dtype)
+    log(f"kernel_perturb: {engine._kernel_perturb}; "
+        f"delta_dtype: {args.delta_dtype}")
 
     F, B, GPD = args.pairs, args.batch, args.gens_per_dispatch
     rng = np.random.default_rng(0)
